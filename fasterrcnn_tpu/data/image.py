@@ -1,0 +1,96 @@
+"""Image loading and resize (host side), normalization params (device side).
+
+Re-designed from reference datasets/image.py (pytorch tree, :21-101) with one
+TPU-first change: the host pipeline keeps images as uint8 HWC and ships them
+to the device raw; channel reordering / scaling / standardization happen
+*inside* the jit-compiled model (see models/backbone.py `normalize_images`).
+That quarters host->HBM transfer volume and fuses normalization into the
+first conv's input pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from enum import Enum
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+class ChannelOrder(Enum):
+    RGB = "RGB"
+    BGR = "BGR"
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessingParams:
+    """Normalization contract per backbone (reference image.py:21-31).
+
+    Applied in order: channel reorder, * scaling, - means, / stds, with means
+    and stds given in the target channel order.
+    """
+
+    channel_order: ChannelOrder
+    scaling: float
+    means: Tuple[float, float, float]
+    stds: Tuple[float, float, float]
+
+
+# Caffe-VGG16 convention (reference vgg16.py:146).
+CAFFE_BGR = PreprocessingParams(
+    channel_order=ChannelOrder.BGR,
+    scaling=1.0,
+    means=(103.939, 116.779, 123.680),
+    stds=(1.0, 1.0, 1.0),
+)
+# Torchvision convention (reference resnet.py:141, vgg16_torch.py:64).
+TORCHVISION_RGB = PreprocessingParams(
+    channel_order=ChannelOrder.RGB,
+    scaling=1.0 / 255.0,
+    means=(0.485, 0.456, 0.406),
+    stds=(0.229, 0.224, 0.225),
+)
+
+
+def compute_scale_factor(
+    original_width: int, original_height: int, min_dimension_pixels: Optional[int]
+) -> float:
+    """Scale so the shorter side equals min_dimension_pixels (image.py:34-41)."""
+    if not min_dimension_pixels:
+        return 1.0
+    if original_width > original_height:
+        return min_dimension_pixels / original_height
+    return min_dimension_pixels / original_width
+
+
+def load_image(
+    url: str,
+    min_dimension_pixels: Optional[int] = 600,
+    horizontal_flip: bool = False,
+):
+    """Load and resize an image; no normalization (that runs on device).
+
+    Returns:
+      (image_u8, pil_image, scale_factor, original_shape) where image_u8 is
+      (H, W, 3) uint8 RGB, pil_image is the resized PIL image for drawing,
+      and original_shape is (3, orig_h, orig_w) matching the reference's
+      return convention (image.py:101).
+    """
+    image = Image.open(url).convert("RGB")
+    original_width, original_height = image.width, image.height
+    if horizontal_flip:
+        image = image.transpose(method=Image.FLIP_LEFT_RIGHT)
+    if min_dimension_pixels is not None:
+        scale_factor = compute_scale_factor(
+            original_width=image.width,
+            original_height=image.height,
+            min_dimension_pixels=min_dimension_pixels,
+        )
+        width = int(image.width * scale_factor)
+        height = int(image.height * scale_factor)
+        image = image.resize((width, height), resample=Image.BILINEAR)
+    else:
+        scale_factor = 1.0
+    image_u8 = np.asarray(image, dtype=np.uint8)
+    return image_u8, image, scale_factor, (3, original_height, original_width)

@@ -1,0 +1,102 @@
+"""VGG-16 backbone in flax (NHWC, XLA-compiled).
+
+Capability parity with reference pytorch/FasterRCNN/models/vgg16.py:22-158
+and tf2/FasterRCNN/models/vgg16.py (13 convs, stride-16 feature map, 4096-d
+two-layer fully-connected head) — written TPU-first:
+
+  * NHWC layout, compute dtype configurable (bf16 fast path on the MXU).
+  * Max pools use VALID padding (floor semantics) so feature extents match
+    the reference's `height // 16` rule (vgg16.py:155-158) for any size.
+  * Blocks 1-2 are frozen during training via optax masking (the reference
+    sets requires_grad=False, vgg16.py:49-58) — see frozen_param_patterns.
+
+Parameter names (block{i}_conv{j}, fc1/fc2) define the weight-import contract
+for Caffe `vgg16_caffe.pth` / Bart-Keras h5 checkpoints (utils/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from flax import linen as nn
+import jax.numpy as jnp
+
+from fasterrcnn_tpu.data.image import CAFFE_BGR
+from fasterrcnn_tpu.models.backbone import BackboneSpec, register_backbone
+
+_BLOCKS = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
+
+
+class VGG16FeatureExtractor(nn.Module):
+    """conv1_1..conv5_3; pools after blocks 1-4 only (stride-16 output)."""
+
+    dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dtype = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        for block_idx, (num_convs, channels) in enumerate(_BLOCKS):
+            for conv_idx in range(num_convs):
+                x = nn.Conv(
+                    channels,
+                    (3, 3),
+                    padding="SAME",
+                    dtype=dtype,
+                    param_dtype=jnp.float32,
+                    name=f"block{block_idx + 1}_conv{conv_idx + 1}",
+                )(x)
+                x = nn.relu(x)
+            if block_idx < 4:  # no pool after block 5
+                x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
+        return x
+
+
+class VGG16Head(nn.Module):
+    """Pooled RoI (P, 7, 7, 512) -> feature vector (P, 4096).
+
+    Flatten order is HWC (NHWC-native). Imported Caffe/torch weights are
+    permuted accordingly at load time (reference documents the reverse recipe
+    for Keras->torch, state.py:150-157).
+    """
+
+    dtype: str = "float32"
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, rois: jnp.ndarray, *, deterministic: bool = True):
+        dtype = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        x = rois.reshape(rois.shape[0], -1).astype(dtype)
+        x = nn.relu(nn.Dense(4096, dtype=dtype, param_dtype=jnp.float32, name="fc1")(x))
+        if self.dropout > 0.0:
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = nn.relu(nn.Dense(4096, dtype=dtype, param_dtype=jnp.float32, name="fc2")(x))
+        if self.dropout > 0.0:
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return x
+
+
+def _make_spec() -> BackboneSpec:
+    return BackboneSpec(
+        name="vgg16",
+        feature_map_channels=512,
+        feature_pixels=16,
+        feature_vector_size=4096,
+        preprocessing=CAFFE_BGR,
+        fm_ceil_mode=False,
+        make_feature_extractor=lambda dtype: VGG16FeatureExtractor(dtype=dtype),
+        make_head=lambda dtype, dropout: VGG16Head(dtype=dtype, dropout=dropout),
+        frozen_param_patterns=(r".*block1_conv.*", r".*block2_conv.*"),
+    )
+
+
+def _make_torch_spec() -> BackboneSpec:
+    """The reference's second VGG-16 flavor (vgg16_torch.py): same topology,
+    torchvision weight source and RGB/255 preprocessing (vgg16_torch.py:64)."""
+    from fasterrcnn_tpu.data.image import TORCHVISION_RGB
+    import dataclasses
+
+    return dataclasses.replace(
+        _make_spec(), name="vgg16-torch", preprocessing=TORCHVISION_RGB
+    )
+
+
+register_backbone("vgg16", _make_spec)
+register_backbone("vgg16-torch", _make_torch_spec)

@@ -116,9 +116,14 @@ def nms(
 
     # Gather the first max_outputs kept boxes in score order: kept boxes get
     # priority by their (already sorted) position.
+    k_out = min(max_outputs, kp)
     priority = jnp.where(keep, jnp.arange(kp, 0, -1, dtype=jnp.int32), 0)
-    _, sel = jax.lax.top_k(priority, max_outputs)
-    sel_valid = keep[sel]
+    _, sel = jax.lax.top_k(priority, k_out)
+    if k_out < max_outputs:
+        sel = jnp.pad(sel, (0, max_outputs - k_out))
+        sel_valid = keep[sel] & (jnp.arange(max_outputs) < k_out)
+    else:
+        sel_valid = keep[sel]
     return NMSResult(
         boxes=jnp.where(sel_valid[:, None], sboxes[sel], 0.0),
         scores=jnp.where(sel_valid, sscores[sel], 0.0),

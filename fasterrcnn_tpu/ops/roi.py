@@ -1,0 +1,190 @@
+"""RoI feature extraction: crop-and-resize (MXU formulation) and exact RoI
+max-pooling.
+
+Replaces the reference's library kernels:
+  * tf.image.crop_and_resize + 2x2 max-pool (tf2/FasterRCNN/models/
+    detector.py:87-100) — our *fast path*. Bilinear sampling is expressed as
+    two small dense matmuls per RoI (interpolation-weight matrices contracted
+    against the feature map), which XLA maps straight onto the MXU — no
+    gathers, no dynamic shapes.
+  * torchvision.ops.RoIPool (pytorch/FasterRCNN/models/detector.py:16,27) —
+    exact max-pool quantization semantics, provided for parity with
+    checkpoints trained under the PyTorch tree. Pallas kernel in
+    ops/pallas/roi_kernel.py; a NumPy oracle lives in tests.
+
+Both paths take a *fixed* number of padded RoIs and return fixed-shape
+outputs; invalid RoIs produce garbage that callers mask out (they cost the
+same FLOPs either way — that is the point of padding).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _interp_weights(coords: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Bilinear interpolation weight matrix.
+
+    Args:
+      coords: (..., S) sample positions in source-pixel space [0, size-1].
+        Positions outside the range contribute zero (crop_and_resize's
+        extrapolation_value=0 semantics).
+      size: number of source pixels.
+
+    Returns:
+      (..., S, size) weights such that `weights @ src` linearly interpolates.
+    """
+    lo = jnp.floor(coords)
+    frac = coords - lo
+    idx = jax.lax.broadcasted_iota(jnp.float32, (size,), 0)
+    w_lo = jnp.where(idx == lo[..., None], 1.0 - frac[..., None], 0.0)
+    w_hi = jnp.where(idx == lo[..., None] + 1.0, frac[..., None], 0.0)
+    in_range = ((coords >= 0.0) & (coords <= size - 1.0))[..., None]
+    return (w_lo + w_hi) * in_range
+
+
+@functools.partial(jax.jit, static_argnames=("crop_size",))
+def crop_and_resize(
+    feature_map: jnp.ndarray,
+    rois: jnp.ndarray,
+    image_height,
+    image_width,
+    crop_size: int = 14,
+) -> jnp.ndarray:
+    """Bilinear crop of each RoI to (crop_size, crop_size), tf2-tree semantics.
+
+    Args:
+      feature_map: (H, W, C) NHWC feature map (single image).
+      rois: (P, 4) boxes (y1, x1, y2, x2) in *image pixel* coordinates.
+      image_height / image_width: real image extent in pixels (the tf2 tree
+        normalizes RoIs by the image size, tf2 detector.py:92-96).
+      crop_size: output side length.
+
+    Returns:
+      (P, crop_size, crop_size, C) crops.
+
+    Sampling grid matches tf.image.crop_and_resize: normalized corners map to
+    [0, dim-1] source space and crop_size points span them inclusively.
+    """
+    h, w, c = feature_map.shape
+    compute_dtype = feature_map.dtype
+
+    y1 = rois[:, 0] / image_height * (h - 1)
+    x1 = rois[:, 1] / image_width * (w - 1)
+    y2 = rois[:, 2] / image_height * (h - 1)
+    x2 = rois[:, 3] / image_width * (w - 1)
+
+    steps = jnp.arange(crop_size, dtype=jnp.float32) / max(crop_size - 1, 1)
+    ys = y1[:, None] + (y2 - y1)[:, None] * steps[None, :]  # (P, S)
+    xs = x1[:, None] + (x2 - x1)[:, None] * steps[None, :]
+
+    wy = _interp_weights(ys, h).astype(compute_dtype)  # (P, S, H)
+    wx = _interp_weights(xs, w).astype(compute_dtype)  # (P, S, W)
+
+    # Contract H then W: (P,S,H) x (H,W,C) -> (P,S,W,C) -> (P,S,S,C),
+    # output layout (P, y, x, C). Precision HIGHEST: the TPU MXU's default
+    # f32 matmul uses bf16 passes (~4e-3 rel error), which is too lossy for
+    # interpolation *weights*; these contractions are a rounding error of the
+    # backbone's FLOPs, so full precision is free.
+    rows = jnp.einsum(
+        "psh,hwc->pswc", wy, feature_map, precision=jax.lax.Precision.HIGHEST
+    )
+    crops = jnp.einsum(
+        "pqw,pswc->psqc", wx, rows, precision=jax.lax.Precision.HIGHEST
+    )
+    return crops
+
+
+def roi_pool_features(
+    feature_map: jnp.ndarray,
+    rois: jnp.ndarray,
+    image_height,
+    image_width,
+    output_size: int = 7,
+) -> jnp.ndarray:
+    """Fast-path RoI pooling: 2*output_size bilinear crop + 2x2 max pool.
+
+    This is the tf2 tree's RoI layer (tf2 detector.py:87-100), which reached
+    the same 71.0% VOC mAP as the PyTorch tree's RoIPool (reference
+    README.md:38), and is the TPU-native choice: all dense math.
+    """
+    crops = crop_and_resize(
+        feature_map, rois, image_height, image_width, crop_size=2 * output_size
+    )
+    p, s, _, c = crops.shape
+    pooled = crops.reshape(p, output_size, 2, output_size, 2, c).max(axis=(2, 4))
+    return pooled
+
+
+@functools.partial(jax.jit, static_argnames=("output_size", "spatial_scale"))
+def roi_pool_exact(
+    feature_map: jnp.ndarray,
+    rois: jnp.ndarray,
+    spatial_scale: float = 1.0 / 16.0,
+    output_size: int = 7,
+) -> jnp.ndarray:
+    """Exact torchvision RoIPool quantization semantics, as dense masked maxes.
+
+    For each RoI (y1,x1,y2,x2) in image space: corners are scaled & rounded to
+    feature cells, the (inclusive) cell span is divided into output_size bins
+    with floor/ceil boundaries, and each bin takes the max over its cells
+    (empty bins yield 0). Matches torchvision.ops.RoIPool (reference
+    detector.py:27 uses output 7x7, scale 1/16).
+
+    Implementation: separable masked max — a (P, out, H) row-selection mask
+    reduces H first, then a (P, out, W) mask reduces W. Cost O(P*out*(H+W)*C)
+    with no gathers; fine for the import-parity path (the fast path is
+    roi_pool_features).
+    """
+    h, w, c = feature_map.shape
+    neg = jnp.asarray(-jnp.inf, feature_map.dtype)
+
+    def bin_mask(lo_cell, hi_cell, size):
+        """(P,) int32 cell spans -> (P, out, size) membership masks.
+
+        Bin boundaries floor(span*b/out) / ceil(span*(b+1)/out) are computed
+        in *integer* arithmetic: quantization is conceptually integral, and
+        float evaluation is hazardous under fused excess-precision math (XLA
+        CPU fast-math turns ceil(span/out*out) into span+1).
+        """
+        span = jnp.maximum(hi_cell - lo_cell + 1, 1)  # inclusive width >= 1
+        b = jnp.arange(output_size, dtype=jnp.int32)
+        starts = (span[:, None] * b[None, :]) // output_size + lo_cell[:, None]
+        ends = (
+            span[:, None] * (b[None, :] + 1) + output_size - 1
+        ) // output_size + lo_cell[:, None]
+        starts = jnp.clip(starts, 0, size)
+        ends = jnp.clip(ends, 0, size)
+        cells = jnp.arange(size, dtype=jnp.int32)
+        return (cells[None, None, :] >= starts[..., None]) & (
+            cells[None, None, :] < ends[..., None]
+        )  # (P, out, size)
+
+    # C++ round() = half away from zero; for non-negative coords this is
+    # floor(x + 0.5) (jnp.round would round half to even and disagree on
+    # exact .5 boundaries, e.g. x1=8 at scale 1/16).
+    def round_half_up(v):
+        return jnp.floor(v + 0.5).astype(jnp.int32)
+
+    y1 = round_half_up(rois[:, 0] * spatial_scale)
+    x1 = round_half_up(rois[:, 1] * spatial_scale)
+    y2 = round_half_up(rois[:, 2] * spatial_scale)
+    x2 = round_half_up(rois[:, 3] * spatial_scale)
+
+    my = bin_mask(y1, y2, h)  # (P, out, H)
+    mx = bin_mask(x1, x2, w)  # (P, out, W)
+
+    # Row stage: (P, out, H) mask over (H, W, C) -> (P, out, W, C).
+    rowmax = jnp.max(
+        jnp.where(my[:, :, :, None, None], feature_map[None, None, :, :, :], neg),
+        axis=2,
+    )
+    # Column stage: (P, out, W) mask over (P, out, W, C) -> (P, out, out, C).
+    out = jnp.max(
+        jnp.where(mx[:, None, :, :, None], rowmax[:, :, None, :, :], neg), axis=3
+    )
+    # Empty bins produce -inf on both paths; torchvision yields 0 there.
+    return jnp.where(jnp.isfinite(out), out, 0.0)

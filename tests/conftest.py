@@ -7,12 +7,24 @@ Must set XLA flags before jax initializes. Multi-chip sharding tests use the
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the environment presets JAX_PLATFORMS=axon (the tunneled TPU),
+# and the baked sitecustomize.py registers the axon backend at interpreter
+# start, overriding the env var via jax.config. Setting the env var is not
+# enough — re-update the config before any backend is initialized.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    "tests must run on the virtual CPU mesh, got " + jax.default_backend()
+)
+assert jax.device_count() == 8, "expected 8 virtual CPU devices"
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:

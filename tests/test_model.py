@@ -1,0 +1,143 @@
+"""End-to-end model tests on a tiny canvas: init, forward shapes, one train
+step, loss decrease on a fixed synthetic batch, predict output contract."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from fasterrcnn_tpu.config import AnchorConfig, DetectorConfig, ModelConfig, RPNConfig
+from fasterrcnn_tpu.models.faster_rcnn import (
+    Batch,
+    FasterRCNN,
+    init_params,
+    make_predict_fn,
+    make_train_step,
+)
+
+CANVAS_H, CANVAS_W = 128, 160
+
+
+def tiny_config(backbone="vgg16"):
+    return ModelConfig(
+        num_classes=21,
+        backbone=backbone,
+        rpn=RPNConfig(
+            pre_nms_train=400,
+            post_nms_train=128,
+            pre_nms_infer=200,
+            post_nms_infer=64,
+            minibatch_size=64,
+        ),
+        detector=DetectorConfig(proposal_batch_size=32, max_detections_per_class=16),
+        max_gt_boxes=8,
+    )
+
+
+def synthetic_batch(rng, b=2, g=8):
+    images = rng.integers(0, 255, (b, CANVAS_H, CANVAS_W, 3), dtype=np.uint8)
+    image_hw = np.tile([[120.0, 150.0]], (b, 1)).astype(np.float32)
+    gt_boxes = np.zeros((b, g, 4), np.float32)
+    gt_classes = np.zeros((b, g), np.int32)
+    gt_mask = np.zeros((b, g), np.float32)
+    for i in range(b):
+        n = int(rng.integers(1, 4))
+        for j in range(n):
+            y1 = rng.uniform(0, 60)
+            x1 = rng.uniform(0, 80)
+            gt_boxes[i, j] = [y1, x1, y1 + rng.uniform(30, 55), x1 + rng.uniform(30, 60)]
+            gt_classes[i, j] = rng.integers(1, 21)
+            gt_mask[i, j] = 1.0
+    return Batch(
+        images=jnp.asarray(images),
+        image_hw=jnp.asarray(image_hw),
+        gt_boxes=jnp.asarray(gt_boxes),
+        gt_classes=jnp.asarray(gt_classes),
+        gt_mask=jnp.asarray(gt_mask),
+    )
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = FasterRCNN(cfg=tiny_config())
+    params = init_params(model, CANVAS_H, CANVAS_W, seed=0)
+    return model, params
+
+
+def test_param_structure(model_and_params):
+    _, params = model_and_params
+    names = set(params.keys())
+    assert {"feature_extractor", "rpn_head", "roi_head", "detector_heads"} <= names
+    fe = params["feature_extractor"]
+    assert fe["block1_conv1"]["kernel"].shape == (3, 3, 3, 64)
+    assert fe["block5_conv3"]["kernel"].shape == (3, 3, 512, 512)
+    assert params["roi_head"]["fc1"]["kernel"].shape == (7 * 7 * 512, 4096)
+    assert params["detector_heads"]["classifier"]["kernel"].shape == (4096, 21)
+    assert params["detector_heads"]["regressor"]["kernel"].shape == (4096, 80)
+
+
+def test_forward_shapes(model_and_params):
+    model, params = model_and_params
+    batch = synthetic_batch(np.random.default_rng(0))
+    boxes, valid, class_logits, box_deltas = model.apply(
+        {"params": params}, batch.images, batch.image_hw
+    )
+    b = batch.images.shape[0]
+    k_post = model.cfg.rpn.post_nms_infer
+    assert boxes.shape == (b, k_post, 4)
+    assert valid.shape == (b, k_post)
+    assert class_logits.shape == (b, k_post, 21)
+    assert box_deltas.shape == (b, k_post, 80)
+    assert bool(jnp.isfinite(class_logits).all())
+
+
+def test_train_step_decreases_loss(model_and_params):
+    model, params = model_and_params
+    # train_step donates its params argument; work on a copy so the shared
+    # fixture params stay alive for other tests.
+    params = jax.tree.map(jnp.copy, params)
+    tx = optax.sgd(learning_rate=1e-3, momentum=0.9)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, CANVAS_H, CANVAS_W)
+    batch = synthetic_batch(np.random.default_rng(1))
+    rng = jax.random.key(0)
+    first = None
+    losses = None
+    for i in range(12):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, losses = step(params, opt_state, batch, sub)
+        total = float(losses.total)
+        assert np.isfinite(total), f"non-finite loss at step {i}: {losses}"
+        if first is None:
+            first = total
+    assert float(losses.total) < first, (first, float(losses.total))
+
+
+def test_predict_contract(model_and_params):
+    model, params = model_and_params
+    predict = make_predict_fn(model, CANVAS_H, CANVAS_W)
+    batch = synthetic_batch(np.random.default_rng(2))
+    det = predict(params, batch.images, batch.image_hw, score_threshold=0.05)
+    b = batch.images.shape[0]
+    d = model.cfg.detector.max_detections_per_class
+    assert det.boxes.shape == (b, 20, d, 4)
+    assert det.scores.shape == (b, 20, d)
+    assert det.valid.shape == (b, 20, d)
+    # Valid detections lie inside the image and carry scores > threshold.
+    v = np.asarray(det.valid) > 0
+    if v.any():
+        assert np.asarray(det.scores)[v].min() > 0.05
+        assert np.asarray(det.boxes)[v].min() >= 0.0
+
+
+def test_resnet50_variant_initializes():
+    cfg = dataclasses.replace(tiny_config(), backbone="resnet50")
+    model = FasterRCNN(cfg=cfg)
+    params = init_params(model, CANVAS_H, CANVAS_W, seed=0)
+    fe = params["feature_extractor"]
+    assert fe["conv1"]["kernel"].shape == (7, 7, 3, 64)
+    assert "layer3" in fe and "block5" in fe["layer3"]
+    assert params["roi_head"]["layer4"]["block0"]["conv1"]["kernel"].shape[-1] == 512
