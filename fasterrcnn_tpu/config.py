@@ -113,8 +113,8 @@ CANVAS_BUCKETS: Tuple[Tuple[int, int], ...] = (
     (608, 608),
     (608, 800),
     (800, 608),
-    (608, 912),
-    (912, 608),
+    (608, 928),
+    (928, 608),
     (608, 1120),
     (1120, 608),
     (608, 1600),

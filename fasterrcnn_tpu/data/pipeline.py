@@ -1,0 +1,122 @@
+"""Padded, bucketed batching + background prefetch (host -> device pipeline).
+
+The reference feeds one dynamically-shaped sample at a time straight into the
+model (pytorch __main__.py:174-184). Here, samples are padded into a small
+set of static canvas buckets (config.CANVAS_BUCKETS) so XLA compiles once per
+bucket, batches form within a bucket, and a background thread keeps the
+device fed (the reference's data generator was its hot loop #1,
+SURVEY.md section 3.1).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from fasterrcnn_tpu.config import CANVAS_BUCKETS, select_canvas
+from fasterrcnn_tpu.data.voc import Sample
+
+
+class HostBatch:
+    """Numpy staging of models.faster_rcnn.Batch plus per-sample metadata."""
+
+    def __init__(self, canvas_hw, images, image_hw, gt_boxes, gt_classes, gt_mask, samples):
+        self.canvas_hw: Tuple[int, int] = canvas_hw
+        self.images: np.ndarray = images  # (B, Hc, Wc, 3) u8
+        self.image_hw: np.ndarray = image_hw  # (B, 2) f32
+        self.gt_boxes: np.ndarray = gt_boxes  # (B, G, 4) f32
+        self.gt_classes: np.ndarray = gt_classes  # (B, G) i32
+        self.gt_mask: np.ndarray = gt_mask  # (B, G) f32
+        self.samples: List[Sample] = samples
+
+
+def pad_sample_into(batch_images, i, sample: Sample):
+    h, w = sample.image_hw
+    batch_images[i, :h, :w, :] = sample.image_u8
+
+
+def make_host_batch(
+    samples: List[Sample], canvas_hw: Tuple[int, int], max_gt: int
+) -> HostBatch:
+    b = len(samples)
+    ch, cw = canvas_hw
+    images = np.zeros((b, ch, cw, 3), np.uint8)
+    image_hw = np.zeros((b, 2), np.float32)
+    gt_boxes = np.zeros((b, max_gt, 4), np.float32)
+    gt_classes = np.zeros((b, max_gt), np.int32)
+    gt_mask = np.zeros((b, max_gt), np.float32)
+    for i, s in enumerate(samples):
+        pad_sample_into(images, i, s)
+        image_hw[i] = s.image_hw
+        n = min(len(s.gt_boxes), max_gt)
+        if len(s.gt_boxes) > max_gt:
+            raise ValueError(
+                f"{s.filepath}: {len(s.gt_boxes)} gt boxes exceeds max_gt={max_gt}"
+            )
+        for j in range(n):
+            gt_boxes[i, j] = s.gt_boxes[j].corners
+            gt_classes[i, j] = s.gt_boxes[j].class_index
+            gt_mask[i, j] = 1.0
+    return HostBatch(canvas_hw, images, image_hw, gt_boxes, gt_classes, gt_mask, samples)
+
+
+def batched(
+    dataset: Iterable[Sample],
+    batch_size: int,
+    max_gt: int,
+    drop_remainder: bool = False,
+) -> Iterator[HostBatch]:
+    """Group samples by canvas bucket and emit padded batches.
+
+    Per-bucket accumulation keeps every batch a single static shape. At
+    iterator end, each bucket's residue is emitted as one smaller batch
+    (at most one extra compiled program per bucket per epoch); pass
+    drop_remainder=True to skip residues instead.
+    """
+    pending = {hw: [] for hw in CANVAS_BUCKETS}
+    for sample in dataset:
+        hw = select_canvas(*sample.image_hw)
+        pending[hw].append(sample)
+        if len(pending[hw]) == batch_size:
+            yield make_host_batch(pending[hw], hw, max_gt)
+            pending[hw] = []
+    if not drop_remainder:
+        for hw, group in pending.items():
+            if group:
+                yield make_host_batch(group, hw, max_gt)
+
+
+class Prefetcher:
+    """Run an iterator in a background thread with a bounded queue."""
+
+    _DONE = object()
+
+    def __init__(self, iterator: Iterator, depth: int = 4):
+        self._queue: queue.Queue = queue.Queue(maxsize=depth)
+        self._error: Optional[BaseException] = None
+
+        def worker():
+            try:
+                for item in iterator:
+                    self._queue.put(item)
+            except BaseException as e:  # surfaced on the consumer side
+                self._error = e
+            finally:
+                self._queue.put(self._DONE)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is self._DONE:
+            if self._error is not None:
+                raise self._error
+            raise StopIteration
+        return item

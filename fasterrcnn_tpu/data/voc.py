@@ -1,0 +1,255 @@
+"""PASCAL VOC dataset loader (host side).
+
+Capability parity with reference datasets/voc.py (pytorch tree :35-302, tf2
+twin), with the TPU-first split of responsibilities: this loader only parses
+XML, decodes/resizes JPEGs, flips, and scales ground-truth boxes. Anchor maps
+and RPN ground truth — which the reference precomputes per sample on the host
+(voc.py:167-169) — are computed on device inside the jit-compiled train step.
+
+Semantics preserved:
+  * fixed 21-class VOC contract incl. class discovery check (voc.py:40-99),
+  * 1-based -> 0-based corner conversion (voc.py:293-296),
+  * difficult-object filtering unless allow_difficult (voc.py:284-286),
+  * 50% horizontal flip augmentation, with flipped x-coords computed as
+    width-1-x against the *original* size then scaled (voc.py:150-165),
+  * optional in-memory sample caching (--cache-images, voc.py:130-138),
+  * per-epoch shuffling (voc.py:114-118).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import random
+import xml.etree.ElementTree as ET
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from fasterrcnn_tpu.data import image as image_lib
+
+VOC_CLASSES = (
+    "background",
+    "aeroplane",
+    "bicycle",
+    "bird",
+    "boat",
+    "bottle",
+    "bus",
+    "car",
+    "cat",
+    "chair",
+    "cow",
+    "diningtable",
+    "dog",
+    "horse",
+    "motorbike",
+    "person",
+    "pottedplant",
+    "sheep",
+    "sofa",
+    "train",
+    "tvmonitor",
+)
+CLASS_INDEX_TO_NAME = dict(enumerate(VOC_CLASSES))
+CLASS_NAME_TO_INDEX = {n: i for i, n in CLASS_INDEX_TO_NAME.items()}
+NUM_CLASSES = len(VOC_CLASSES)
+
+
+@dataclasses.dataclass
+class Box:
+    """One ground-truth box (reference training_sample.py:17-27)."""
+
+    class_index: int
+    class_name: str
+    corners: np.ndarray  # (4,) f32 (y1, x1, y2, x2)
+
+    def __repr__(self):
+        return "Box(class=%s (%d), corners=%s)" % (
+            self.class_name,
+            self.class_index,
+            self.corners,
+        )
+
+
+@dataclasses.dataclass
+class Sample:
+    """One loaded training/eval sample (device-side labels happen in-jit)."""
+
+    image_u8: np.ndarray  # (H, W, 3) uint8, resized (min side 600)
+    image_hw: Tuple[int, int]  # real (height, width) after resize
+    gt_boxes: List[Box]  # scaled to the resized image
+    image: "object"  # PIL image for visualization
+    filepath: str
+
+
+class Dataset:
+    """A VOC split iterator (reference voc.py:35-141 interface)."""
+
+    num_classes = NUM_CLASSES
+    class_index_to_name = CLASS_INDEX_TO_NAME
+
+    def __init__(
+        self,
+        split: str,
+        dir: str = "VOCdevkit/VOC2007",
+        augment: bool = True,
+        shuffle: bool = True,
+        allow_difficult: bool = False,
+        cache: bool = True,
+        min_dimension_pixels: int = 600,
+        seed: Optional[int] = None,
+    ):
+        if not os.path.exists(dir):
+            raise FileNotFoundError(f"Dataset directory does not exist: {dir}")
+        self.split = split
+        self._dir = dir
+        self._rng = random.Random(seed)
+        self.class_index_to_name = self._discover_classes()
+        self.class_name_to_index = {
+            name: idx for idx, name in self.class_index_to_name.items()
+        }
+        self.num_classes = len(self.class_index_to_name)
+        assert self.num_classes == NUM_CLASSES, (
+            "Dataset does not have the expected number of classes "
+            f"(found {self.num_classes}, expected {NUM_CLASSES})"
+        )
+        assert self.class_index_to_name == CLASS_INDEX_TO_NAME, (
+            "Dataset does not have the expected class mapping"
+        )
+        self._filepaths = self._list_filepaths()
+        self.num_samples = len(self._filepaths)
+        self._gt_boxes_by_filepath = self._parse_all_annotations(
+            self._filepaths, allow_difficult
+        )
+        self._augment = augment
+        self._shuffle = shuffle
+        self._cache_enabled = cache
+        self._min_dim = min_dimension_pixels
+        self._cache: Dict[Tuple[str, bool], Sample] = {}
+        self._order = list(self._filepaths)
+        self._i = 0
+
+    # -- iteration --------------------------------------------------------
+
+    def __iter__(self):
+        self._i = 0
+        if self._shuffle:
+            self._rng.shuffle(self._order)
+        return self
+
+    def __next__(self) -> Sample:
+        if self._i >= len(self._order):
+            raise StopIteration
+        filepath = self._order[self._i]
+        self._i += 1
+        flip = self._rng.randint(0, 1) != 0 if self._augment else False
+        key = (filepath, flip)
+        if key in self._cache:
+            return self._cache[key]
+        sample = self._load_sample(filepath, flip)
+        if self._cache_enabled:
+            self._cache[key] = sample
+        return sample
+
+    def _load_sample(self, filepath: str, flip: bool) -> Sample:
+        image_u8, pil_image, scale, original_shape = image_lib.load_image(
+            filepath, min_dimension_pixels=self._min_dim, horizontal_flip=flip
+        )
+        _, _, original_width = original_shape
+        gt_boxes = []
+        for box in self._gt_boxes_by_filepath[filepath]:
+            corners = box.corners
+            if flip:
+                corners = np.array(
+                    [
+                        corners[0],
+                        original_width - 1 - corners[3],
+                        corners[2],
+                        original_width - 1 - corners[1],
+                    ],
+                    dtype=np.float32,
+                )
+            gt_boxes.append(
+                Box(
+                    class_index=box.class_index,
+                    class_name=box.class_name,
+                    corners=corners * scale,
+                )
+            )
+        return Sample(
+            image_u8=image_u8,
+            image_hw=(image_u8.shape[0], image_u8.shape[1]),
+            gt_boxes=gt_boxes,
+            image=pil_image,
+            filepath=filepath,
+        )
+
+    # -- filesystem parsing ------------------------------------------------
+
+    def _discover_classes(self) -> Dict[int, str]:
+        imageset_dir = os.path.join(self._dir, "ImageSets", "Main")
+        classes = {
+            os.path.basename(path).split("_")[0]
+            for path in Path(imageset_dir).glob(f"*_{self.split}.txt")
+        }
+        assert classes, f"No classes found in ImageSets/Main for '{self.split}'"
+        mapping = {i + 1: name for i, name in enumerate(sorted(classes))}
+        mapping[0] = "background"
+        return dict(sorted(mapping.items()))
+
+    def _list_filepaths(self) -> List[str]:
+        list_file = os.path.join(
+            self._dir, "ImageSets", "Main", self.split + ".txt"
+        )
+        with open(list_file) as fp:
+            basenames = [line.strip() for line in fp if line.strip()]
+        return [
+            os.path.join(self._dir, "JPEGImages", name) + ".jpg"
+            for name in basenames
+        ]
+
+    def _parse_all_annotations(self, filepaths, allow_difficult):
+        out = {}
+        for filepath in filepaths:
+            basename = os.path.splitext(os.path.basename(filepath))[0]
+            annotation_file = (
+                os.path.join(self._dir, "Annotations", basename) + ".xml"
+            )
+            out[filepath] = parse_voc_annotation(
+                annotation_file, self.class_name_to_index, allow_difficult
+            )
+        return out
+
+
+def parse_voc_annotation(
+    annotation_file: str,
+    class_name_to_index: Dict[str, int],
+    allow_difficult: bool,
+) -> List[Box]:
+    """Parse one VOC XML file into Box objects (reference voc.py:266-302)."""
+    tree = ET.parse(annotation_file)
+    root = tree.getroot()
+    size = root.find("size")
+    assert size is not None and int(size.find("depth").text) == 3
+    boxes = []
+    for obj in root.findall("object"):
+        if int(obj.find("difficult").text) != 0 and not allow_difficult:
+            continue
+        class_name = obj.find("name").text
+        bndbox = obj.find("bndbox")
+        # VOC is 1-based inclusive; convert to 0-based (voc.py:293-296).
+        x_min = int(bndbox.find("xmin").text) - 1
+        y_min = int(bndbox.find("ymin").text) - 1
+        x_max = int(bndbox.find("xmax").text) - 1
+        y_max = int(bndbox.find("ymax").text) - 1
+        boxes.append(
+            Box(
+                class_index=class_name_to_index[class_name],
+                class_name=class_name,
+                corners=np.array([y_min, x_min, y_max, x_max], np.float32),
+            )
+        )
+    assert boxes, f"No usable ground-truth boxes in {annotation_file}"
+    return boxes
