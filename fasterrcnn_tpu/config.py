@@ -110,6 +110,8 @@ class TrainConfig:
 # divide them exactly. The common VOC shapes (500x375 -> 800x600 and its
 # transpose) land in the first two buckets with <2% padding waste.
 CANVAS_BUCKETS: Tuple[Tuple[int, int], ...] = (
+    (128, 160),  # tiny smoke-test bucket (never hit by min-side-600 VOC data)
+    (160, 128),
     (608, 608),
     (608, 800),
     (800, 608),

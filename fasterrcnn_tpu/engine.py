@@ -1,0 +1,253 @@
+"""Training / evaluation orchestration (the reference's __main__ train() and
+evaluate() loops, pytorch __main__.py:62-224, re-built around jit programs).
+
+Key differences from the reference driver:
+  * Batches of any size, grouped per canvas bucket; one compiled train step
+    per (bucket, batch-size) pair, cached.
+  * The optimizer is optax: SGD with momentum, decoupled weight decay applied
+    only to kernels (the reference decays only '*weight*' params,
+    __main__.py:98-105), and backbone-specific frozen parameters held out
+    via optax.multi_transform. Optional Adam + clipnorm mirror the tf2 tree
+    (tf2 __main__.py:304-314,337-341).
+  * Evaluation runs the fixed-shape predict program and feeds the
+    protocol-exact mAP calculator (utils/stats.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+import time
+from typing import Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fasterrcnn_tpu.config import ModelConfig, TrainConfig
+from fasterrcnn_tpu.data.pipeline import HostBatch, Prefetcher, batched
+from fasterrcnn_tpu.models.backbone import get_backbone
+from fasterrcnn_tpu.models.faster_rcnn import (
+    Batch,
+    FasterRCNN,
+    init_params,
+    make_predict_fn,
+    make_train_step,
+)
+from fasterrcnn_tpu.utils import checkpoint as ckpt_lib
+from fasterrcnn_tpu.utils import postprocess
+from fasterrcnn_tpu.utils.stats import (
+    PrecisionRecallCurveCalculator,
+    TrainingStatistics,
+)
+
+
+def _param_labels(params, frozen_patterns: Tuple[str, ...]):
+    compiled = [re.compile(p) for p in frozen_patterns]
+
+    def label(path_tuple, leaf):
+        path = "/".join(str(getattr(k, "key", k)) for k in path_tuple)
+        for pat in compiled:
+            if pat.match(path):
+                return "frozen"
+        # Reference: weight decay only on '*weight*' params (__main__.py:100-105).
+        if path.endswith("kernel") or path.endswith("scale"):
+            return "decayed"
+        return "plain"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_optimizer(model_cfg: ModelConfig, train_cfg: TrainConfig, params):
+    spec = get_backbone(model_cfg.backbone)
+    labels = _param_labels(params, spec.frozen_param_patterns)
+
+    def base_opt(weight_decay: float):
+        steps = []
+        if train_cfg.clipnorm > 0:
+            steps.append(optax.clip_by_global_norm(train_cfg.clipnorm))
+        if weight_decay > 0:
+            steps.append(optax.add_decayed_weights(weight_decay))
+        if train_cfg.optimizer == "adam":
+            steps.append(
+                optax.adam(
+                    train_cfg.learning_rate, b1=train_cfg.beta1, b2=train_cfg.beta2
+                )
+            )
+        else:
+            steps.append(
+                optax.sgd(train_cfg.learning_rate, momentum=train_cfg.momentum)
+            )
+        return optax.chain(*steps)
+
+    tx = optax.multi_transform(
+        {
+            "decayed": base_opt(train_cfg.weight_decay),
+            "plain": base_opt(0.0),
+            "frozen": optax.set_to_zero(),
+        },
+        labels,
+    )
+    return tx, labels
+
+
+def host_to_device_batch(hb: HostBatch) -> Batch:
+    return Batch(
+        images=jnp.asarray(hb.images),
+        image_hw=jnp.asarray(hb.image_hw),
+        gt_boxes=jnp.asarray(hb.gt_boxes),
+        gt_classes=jnp.asarray(hb.gt_classes),
+        gt_mask=jnp.asarray(hb.gt_mask),
+    )
+
+
+class Engine:
+    """Holds params/opt state and per-canvas compiled programs."""
+
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        train_cfg: TrainConfig = TrainConfig(),
+        seed: int = 0,
+        init_canvas: Tuple[int, int] = (608, 800),
+    ):
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.model = FasterRCNN(cfg=model_cfg)
+        self.params = init_params(self.model, *init_canvas, seed=seed)
+        self.tx, self.labels = make_optimizer(model_cfg, train_cfg, self.params)
+        self.opt_state = self.tx.init(self.params)
+        self._train_steps: Dict[Tuple[int, int], callable] = {}
+        self._predict_fns: Dict[Tuple[int, int], callable] = {}
+        self._rng = jax.random.key(seed)
+
+    # -- weights ----------------------------------------------------------
+
+    def load_weights(self, filepath: str) -> None:
+        self.params = ckpt_lib.load(self.params, filepath)
+        self.opt_state = self.tx.init(self.params)  # fresh optimizer (by design)
+
+    def save_weights(self, filepath: str) -> None:
+        ckpt_lib.save_weights(filepath, self.params)
+
+    # -- compiled program caches -------------------------------------------
+
+    def train_step_for(self, canvas_hw: Tuple[int, int]):
+        if canvas_hw not in self._train_steps:
+            self._train_steps[canvas_hw] = make_train_step(
+                self.model, self.tx, *canvas_hw
+            )
+        return self._train_steps[canvas_hw]
+
+    def predict_fn_for(self, canvas_hw: Tuple[int, int]):
+        if canvas_hw not in self._predict_fns:
+            self._predict_fns[canvas_hw] = make_predict_fn(self.model, *canvas_hw)
+        return self._predict_fns[canvas_hw]
+
+    # -- loops --------------------------------------------------------------
+
+    def next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def train_epoch(
+        self,
+        dataset: Iterable,
+        batch_size: int,
+        stats: Optional[TrainingStatistics] = None,
+        progress: bool = True,
+        max_steps: Optional[int] = None,
+    ) -> TrainingStatistics:
+        stats = stats or TrainingStatistics()
+        batches = Prefetcher(
+            batched(iter(dataset), batch_size, self.model_cfg.max_gt_boxes)
+        )
+        iterator = batches
+        if progress:
+            from tqdm import tqdm
+
+            total = (getattr(dataset, "num_samples", 0) + batch_size - 1) // batch_size
+            iterator = tqdm(batches, total=total or None)
+        for step_idx, hb in enumerate(iterator):
+            if max_steps is not None and step_idx >= max_steps:
+                break
+            step = self.train_step_for(hb.canvas_hw)
+            self.params, self.opt_state, losses = step(
+                self.params, self.opt_state, host_to_device_batch(hb), self.next_rng()
+            )
+            stats.on_training_step(losses)
+            if progress:
+                iterator.set_postfix(stats.get_progbar_postfix())
+        return stats
+
+    def evaluate(
+        self,
+        dataset: Iterable,
+        batch_size: int = 8,
+        num_samples: Optional[int] = None,
+        score_threshold: float = 0.05,
+        print_average_precisions: bool = False,
+        plot: bool = False,
+        progress: bool = True,
+    ) -> float:
+        calc = PrecisionRecallCurveCalculator()
+        seen = 0
+        batches = Prefetcher(
+            batched(iter(dataset), batch_size, self.model_cfg.max_gt_boxes)
+        )
+        if progress:
+            from tqdm import tqdm
+
+            total_samples = num_samples or getattr(dataset, "num_samples", None)
+            bar = tqdm(total=total_samples)
+        for hb in batches:
+            if num_samples is not None and seen >= num_samples:
+                break
+            predict = self.predict_fn_for(hb.canvas_hw)
+            det = predict(
+                self.params,
+                jnp.asarray(hb.images),
+                jnp.asarray(hb.image_hw),
+                score_threshold=score_threshold,
+            )
+            per_image = postprocess.detections_to_dicts(det)
+            for sample, scored in zip(hb.samples, per_image):
+                if num_samples is not None and seen >= num_samples:
+                    break
+                calc.add_image_results(scored, sample.gt_boxes)
+                seen += 1
+                if progress:
+                    bar.update(1)
+        if progress:
+            bar.close()
+        if print_average_precisions:
+            calc.print_average_precisions(
+                getattr(dataset, "class_index_to_name", {})
+            )
+        mean_ap = 100.0 * calc.compute_mean_average_precision()
+        print("Mean Average Precision = %1.2f%%" % mean_ap)
+        if plot:
+            calc.plot_average_precisions(
+                getattr(dataset, "class_index_to_name", {})
+            )
+        return mean_ap
+
+    def predict_image(
+        self, sample, score_threshold: float = 0.7
+    ) -> Dict[int, np.ndarray]:
+        """Single-image predict -> reference-style per-class dict."""
+        from fasterrcnn_tpu.config import select_canvas
+        from fasterrcnn_tpu.data.pipeline import make_host_batch
+
+        hb = make_host_batch(
+            [sample], select_canvas(*sample.image_hw), self.model_cfg.max_gt_boxes
+        )
+        predict = self.predict_fn_for(hb.canvas_hw)
+        det = predict(
+            self.params,
+            jnp.asarray(hb.images),
+            jnp.asarray(hb.image_hw),
+            score_threshold=score_threshold,
+        )
+        return postprocess.detections_to_dicts(det)[0]

@@ -1,0 +1,322 @@
+"""Checkpointing and pretrained-weight import.
+
+Capability parity with reference state.py:14-289 plus the tf2 tree's Keras
+load path, adapted to a flax param pytree:
+
+  * Native checkpoints: orbax CheckpointManager for per-epoch training state
+    (auto-resume), flax msgpack for single-file final/best weights. Following
+    the reference's hard-learned rule, resume restores *weights only* — the
+    optimizer restarts fresh so a changed LR is honored (reference
+    README.md:231-256).
+  * Import formats (detection order mirrors state.py:221-264):
+      1. Bart-Keras VGG-16 h5 (state.py:116-176) — conv kernels are already
+         HWIO and fc1 is already (7,7,512)-flatten-ordered, so import is
+         direct (unlike the reference, which must permute *to* torch layout;
+         our NHWC tree is the layout the h5 file is in).
+      2. Caffe vgg16_caffe.pth (state.py:178-219) — torch pickles; OIHW ->
+         HWIO kernel transpose, and fc1 rows reordered from CHW-flatten to
+         HWC-flatten.
+      3. Full reference PyTorch checkpoints {"epoch", "model_state_dict"}
+         (pytorch __main__.py:195-198) — the complete trained model incl.
+         RPN and detector heads, so reference users' checkpoints work here.
+      4. torchvision resnet50/101/152 IMAGENET1K_V1 state dicts — BN running
+         stats folded into FrozenBatchNorm scale/bias.
+      5. Our own msgpack files.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import flax
+import jax
+
+VGG16_CONV_LAYERS = tuple(
+    f"block{b}_conv{c}"
+    for b, n in ((1, 2), (2, 2), (3, 3), (4, 3), (5, 3))
+    for c in range(1, n + 1)
+)
+
+# Caffe/torchvision VGG-16 "features.N" indices for the 13 convs
+# (state.py:183-199 — identical module ordering in both sources).
+_VGG_FEATURES_INDEX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+
+
+def _oihw_to_hwio(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _torch_fc1_to_hwc(w: np.ndarray, channels: int = 512, side: int = 7) -> np.ndarray:
+    """torch fc1 weight (4096, C*H*W in CHW order) -> (H*W*C, 4096) HWC order.
+
+    Inverse of the recipe the reference documents for the other direction
+    (state.py:150-157).
+    """
+    w = w.reshape(4096, channels, side, side)
+    w = np.transpose(w, (2, 3, 1, 0))  # (7, 7, 512, 4096)
+    return w.reshape(side * side * channels, 4096)
+
+
+def _to_numpy_state(obj) -> Dict[str, np.ndarray]:
+    """torch state dict -> {name: np.ndarray} without keeping torch tensors."""
+    return {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+            for k, v in obj.items()}
+
+
+def _set(params: Dict, path: str, value: np.ndarray) -> None:
+    node = params
+    *parents, leaf = path.split("/")
+    for p in parents:
+        node = node[p]
+    expected = node[leaf].shape
+    if tuple(value.shape) != tuple(expected):
+        raise ValueError(f"{path}: shape {value.shape} != expected {expected}")
+    node[leaf] = value.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Importers (each takes/returns a mutable nested-dict param tree)
+# ---------------------------------------------------------------------------
+
+
+def import_caffe_vgg16(filepath: str, params: Dict) -> Dict:
+    """vgg16_caffe.pth (torch pickle): 13 convs + fc1/fc2 (state.py:178-219)."""
+    import torch
+
+    caffe = _to_numpy_state(torch.load(filepath, map_location="cpu", weights_only=True))
+    loaded = []
+    for idx, layer in zip(_VGG_FEATURES_INDEX, VGG16_CONV_LAYERS):
+        wk, bk = f"features.{idx}.weight", f"features.{idx}.bias"
+        if wk in caffe and bk in caffe:
+            _set(params, f"feature_extractor/{layer}/kernel", _oihw_to_hwio(caffe[wk]))
+            _set(params, f"feature_extractor/{layer}/bias", caffe[bk])
+            loaded.append(layer)
+    if "classifier.0.weight" in caffe:
+        _set(params, "roi_head/fc1/kernel", _torch_fc1_to_hwc(caffe["classifier.0.weight"]))
+        _set(params, "roi_head/fc1/bias", caffe["classifier.0.bias"])
+        loaded.append("fc1")
+    if "classifier.3.weight" in caffe:
+        _set(params, "roi_head/fc2/kernel", caffe["classifier.3.weight"].T)
+        _set(params, "roi_head/fc2/bias", caffe["classifier.3.bias"])
+        loaded.append("fc2")
+    if not loaded:
+        raise ValueError(f"'{filepath}' is not a Caffe VGG-16 model")
+    print(f"Loaded {len(loaded)} VGG-16 layers from Caffe model '{filepath}'")
+    return params
+
+
+def import_keras_vgg16(filepath: str, params: Dict) -> Dict:
+    """Bart-Keras VGG-16 h5 (state.py:116-176). Kernels are HWIO already."""
+    import h5py
+
+    loaded, missing = [], []
+    with h5py.File(filepath, "r") as f:
+
+        def find(layer):
+            group = f[f"model_weights/{layer}"]
+            for sub in group:
+                if sub.startswith(("conv", "dense")):
+                    return (
+                        np.asarray(group[sub]["kernel:0"], np.float32),
+                        np.asarray(group[sub]["bias:0"], np.float32),
+                    )
+            return None, None
+
+        for layer in VGG16_CONV_LAYERS:
+            try:
+                w, b = find(layer)
+            except KeyError:
+                w = b = None
+            if w is None:
+                missing.append(layer)
+                continue
+            _set(params, f"feature_extractor/{layer}/kernel", w)
+            _set(params, f"feature_extractor/{layer}/bias", b)
+            loaded.append(layer)
+        for fc in ("fc1", "fc2"):
+            try:
+                w, b = find(fc)
+            except KeyError:
+                w = b = None
+            if w is None:
+                missing.append(fc)
+                continue
+            _set(params, f"roi_head/{fc}/kernel", w)  # (in, out) already
+            _set(params, f"roi_head/{fc}/bias", b)
+            loaded.append(fc)
+    if not loaded:
+        raise ValueError(f"'{filepath}' is not a Keras VGG-16 model")
+    if missing:
+        print(f"Layers missing from '{filepath}': {', '.join(missing)}")
+    print(f"Loaded {len(loaded)} VGG-16 layers from Keras model '{filepath}'")
+    return params
+
+
+def _fold_bn(state: Dict[str, np.ndarray], prefix: str, eps: float = 1e-5):
+    gamma = state[prefix + ".weight"]
+    beta = state[prefix + ".bias"]
+    mean = state[prefix + ".running_mean"]
+    var = state[prefix + ".running_var"]
+    scale = gamma / np.sqrt(var + eps)
+    return scale, beta - mean * scale
+
+
+def import_torchvision_resnet(filepath: str, params: Dict) -> Dict:
+    """torchvision resnet{50,101,152} state dict -> our FrozenBN tree."""
+    import torch
+
+    state = _to_numpy_state(torch.load(filepath, map_location="cpu", weights_only=True))
+    if "conv1.weight" not in state or "layer1.0.conv1.weight" not in state:
+        raise ValueError(f"'{filepath}' is not a torchvision ResNet state dict")
+
+    _set(params, "feature_extractor/conv1/kernel", _oihw_to_hwio(state["conv1.weight"]))
+    s, b = _fold_bn(state, "bn1")
+    _set(params, "feature_extractor/bn1/scale", s)
+    _set(params, "feature_extractor/bn1/bias", b)
+
+    def import_stage(stage: str, dest: str):
+        i = 0
+        while f"{stage}.{i}.conv1.weight" in state:
+            src = f"{stage}.{i}"
+            dst = f"{dest}/block{i}"
+            for conv in ("conv1", "conv2", "conv3"):
+                _set(params, f"{dst}/{conv}/kernel", _oihw_to_hwio(state[f"{src}.{conv}.weight"]))
+                bn = "bn" + conv[-1]
+                sc, bi = _fold_bn(state, f"{src}.{bn}")
+                _set(params, f"{dst}/{bn}/scale", sc)
+                _set(params, f"{dst}/{bn}/bias", bi)
+            if f"{src}.downsample.0.weight" in state:
+                _set(
+                    params,
+                    f"{dst}/downsample_conv/kernel",
+                    _oihw_to_hwio(state[f"{src}.downsample.0.weight"]),
+                )
+                sc, bi = _fold_bn(state, f"{src}.downsample.1")
+                _set(params, f"{dst}/downsample_bn/scale", sc)
+                _set(params, f"{dst}/downsample_bn/bias", bi)
+            i += 1
+        return i
+
+    for stage, dest in (
+        ("layer1", "feature_extractor/layer1"),
+        ("layer2", "feature_extractor/layer2"),
+        ("layer3", "feature_extractor/layer3"),
+        ("layer4", "roi_head/layer4"),
+    ):
+        n = import_stage(stage, dest)
+        assert n > 0, f"stage {stage} empty in '{filepath}'"
+    print(f"Loaded torchvision ResNet backbone from '{filepath}'")
+    return params
+
+
+def import_reference_checkpoint(filepath: str, params: Dict) -> Dict:
+    """Full reference PyTorch checkpoint ({'model_state_dict': ...}) or bare
+    reference state dict: backbone + RPN + detector (VGG-16 models)."""
+    import torch
+
+    raw = torch.load(filepath, map_location="cpu", weights_only=False)
+    state = raw.get("model_state_dict", raw) if isinstance(raw, dict) else raw
+    state = _to_numpy_state(state)
+
+    fe = "_stage1_feature_extractor._"
+    if fe + "block1_conv1.weight" not in state:
+        raise ValueError(f"'{filepath}' is not a reference FasterRCNN checkpoint")
+    for layer in VGG16_CONV_LAYERS:
+        _set(params, f"feature_extractor/{layer}/kernel", _oihw_to_hwio(state[fe + layer + ".weight"]))
+        _set(params, f"feature_extractor/{layer}/bias", state[fe + layer + ".bias"])
+
+    rpn = "_stage2_region_proposal_network._"
+    _set(params, "rpn_head/conv/kernel", _oihw_to_hwio(state[rpn + "rpn_conv1.weight"]))
+    _set(params, "rpn_head/conv/bias", state[rpn + "rpn_conv1.bias"])
+    _set(params, "rpn_head/objectness/kernel", _oihw_to_hwio(state[rpn + "rpn_class.weight"]))
+    _set(params, "rpn_head/objectness/bias", state[rpn + "rpn_class.bias"])
+    _set(params, "rpn_head/deltas/kernel", _oihw_to_hwio(state[rpn + "rpn_boxes.weight"]))
+    _set(params, "rpn_head/deltas/bias", state[rpn + "rpn_boxes.bias"])
+
+    det = "_stage3_detector_network._"
+    _set(params, "roi_head/fc1/kernel",
+         _torch_fc1_to_hwc(state[det + "pool_to_feature_vector._fc1.weight"]))
+    _set(params, "roi_head/fc1/bias", state[det + "pool_to_feature_vector._fc1.bias"])
+    _set(params, "roi_head/fc2/kernel", state[det + "pool_to_feature_vector._fc2.weight"].T)
+    _set(params, "roi_head/fc2/bias", state[det + "pool_to_feature_vector._fc2.bias"])
+    _set(params, "detector_heads/classifier/kernel", state[det + "classifier.weight"].T)
+    _set(params, "detector_heads/classifier/bias", state[det + "classifier.bias"])
+    _set(params, "detector_heads/regressor/kernel", state[det + "regressor.weight"].T)
+    _set(params, "detector_heads/regressor/bias", state[det + "regressor.bias"])
+    print(f"Loaded full reference checkpoint from '{filepath}'")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Native save/load + multi-format loader
+# ---------------------------------------------------------------------------
+
+
+def save_weights(filepath: str, params) -> None:
+    """Single-file msgpack of the param pytree."""
+    os.makedirs(os.path.dirname(os.path.abspath(filepath)), exist_ok=True)
+    with open(filepath, "wb") as f:
+        f.write(flax.serialization.to_bytes(jax.device_get(params)))
+    print(f"Saved model weights to '{filepath}'")
+
+
+def load_weights_msgpack(filepath: str, params):
+    with open(filepath, "rb") as f:
+        return flax.serialization.from_bytes(params, f.read())
+
+
+def _as_mutable(params) -> Dict:
+    return jax.tree.map(lambda x: np.asarray(x), flax.core.unfreeze(params))
+
+
+def load(params, filepath: str):
+    """Multi-format load into an existing param tree (state.py:221-272 order:
+    Keras h5, Caffe pth, reference checkpoint, then our own msgpack)."""
+    def _import_msgpack(fp, p):
+        with open(fp, "rb") as f:
+            return flax.serialization.from_bytes(p, f.read())
+
+    mutable = _as_mutable(params)
+    errors = []
+    for importer in (
+        import_keras_vgg16,
+        import_caffe_vgg16,
+        import_reference_checkpoint,
+        import_torchvision_resnet,
+        _import_msgpack,
+    ):
+        try:
+            loaded = importer(filepath, mutable)
+            return jax.tree.map(lambda x: np.asarray(x), loaded)
+        except Exception as e:  # try the next format
+            errors.append(f"{getattr(importer, '__name__', 'msgpack')}: {e}")
+    raise ValueError(
+        f"Could not load '{filepath}' in any known format:\n  " + "\n  ".join(errors)
+    )
+
+
+class BestWeightsTracker:
+    """Keep the best-mAP weights in memory; save at end (state.py:274-289)."""
+
+    def __init__(self, filepath: str):
+        self._filepath = filepath
+        self._best_params = None
+        self._best_map = 0.0
+        self._best_epoch = None
+
+    def on_epoch_end(self, params, epoch: int, mAP: float) -> None:
+        if mAP > self._best_map:
+            self._best_map = mAP
+            self._best_epoch = epoch
+            self._best_params = jax.device_get(params)
+
+    def save_best_weights(self) -> None:
+        if self._best_params is not None:
+            save_weights(self._filepath, self._best_params)
+            print(
+                "Saved best model weights (mAP = %1.2f%%, epoch %s) to '%s'"
+                % (self._best_map, self._best_epoch, self._filepath)
+            )

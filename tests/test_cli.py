@@ -1,0 +1,81 @@
+"""CLI + engine integration: tiny synthetic train/eval/predict through the
+real __main__ entry, weight save/load roundtrip, CSV log."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fasterrcnn_tpu.__main__ import main
+
+
+def test_cli_train_eval_predict(tmp_path):
+    save_to = tmp_path / "final.msgpack"
+    best_to = tmp_path / "best.msgpack"
+    csv_path = tmp_path / "log.csv"
+    ckpt_dir = tmp_path / "ckpts"
+    main(
+        [
+            "--train",
+            "--synthetic", "8",
+            "--tiny",
+            "--epochs", "1",
+            "--batch-size", "4",
+            "--eval-batch-size", "4",
+            "--periodic-eval-samples", "2",
+            "--save-to", str(save_to),
+            "--save-best-to", str(best_to),
+            "--log-csv", str(csv_path),
+            "--checkpoint-dir", str(ckpt_dir),
+        ]
+    )
+    assert save_to.exists()
+    assert csv_path.exists()
+    lines = csv_path.read_text().strip().splitlines()
+    assert lines[0].startswith("epoch,")
+    assert len(lines) == 2
+    assert any(f.startswith("checkpoint-epoch-1") for f in os.listdir(ckpt_dir))
+
+    #
+
+    # Reload the saved weights through the multi-format loader and eval.
+    main(
+        [
+            "--eval",
+            "--synthetic", "4",
+            "--tiny",
+            "--eval-batch-size", "4",
+            "--load-from", str(save_to),
+        ]
+    )
+
+
+def test_cli_predict_to_file(tmp_path, monkeypatch):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    img_path = tmp_path / "test.jpg"
+    Image.fromarray(
+        rng.integers(0, 255, (120, 150, 3), dtype=np.uint8)
+    ).save(img_path)
+    monkeypatch.chdir(tmp_path)
+    main(["--predict-to-file", str(img_path), "--tiny"])
+    assert (tmp_path / "predictions.png").exists()
+
+
+def test_weight_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from tests.test_model import tiny_config, CANVAS_H, CANVAS_W
+    from fasterrcnn_tpu.models.faster_rcnn import FasterRCNN, init_params
+    from fasterrcnn_tpu.utils import checkpoint as ckpt
+
+    model = FasterRCNN(cfg=tiny_config())
+    params = init_params(model, CANVAS_H, CANVAS_W, seed=3)
+    path = str(tmp_path / "w.msgpack")
+    ckpt.save_weights(path, params)
+    zeros = __import__("jax").tree.map(jnp.zeros_like, params)
+    restored = ckpt.load(zeros, path)
+    k1 = np.asarray(params["roi_head"]["fc1"]["kernel"])
+    k2 = np.asarray(restored["roi_head"]["fc1"]["kernel"])
+    np.testing.assert_array_equal(k1, k2)

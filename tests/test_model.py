@@ -25,6 +25,9 @@ def tiny_config(backbone="vgg16"):
     return ModelConfig(
         num_classes=21,
         backbone=backbone,
+        # Scale anchors to the tiny canvas so valid anchors (and therefore
+        # nonzero RPN losses) exist.
+        anchors=AnchorConfig(areas=(24.0 * 24, 48.0 * 48, 96.0 * 96)),
         rpn=RPNConfig(
             pre_nms_train=400,
             post_nms_train=128,
@@ -113,6 +116,10 @@ def test_train_step_decreases_loss(model_and_params):
         assert np.isfinite(total), f"non-finite loss at step {i}: {losses}"
         if first is None:
             first = total
+            # All four loss components must be live (nonzero) on this data.
+            assert float(losses.rpn_class) > 0.0
+            assert float(losses.rpn_regression) > 0.0
+            assert float(losses.detector_class) > 0.0
     assert float(losses.total) < first, (first, float(losses.total))
 
 
