@@ -15,6 +15,7 @@ from enum import Enum
 from typing import Optional, Tuple
 
 import numpy as np
+import os
 from PIL import Image
 
 
@@ -64,12 +65,20 @@ def compute_scale_factor(
     return min_dimension_pixels / original_width
 
 
+# Largest aspect ratio the native scratch canvas covers at min-side 600.
+_NATIVE_SCRATCH_SIDE = 1664
+
+
 def load_image(
     url: str,
     min_dimension_pixels: Optional[int] = 600,
     horizontal_flip: bool = False,
+    use_native: bool = True,
 ):
     """Load and resize an image; no normalization (that runs on device).
+
+    Uses the native C++ loader (native/loader.cc: libjpeg + threaded bilinear
+    resize) for local JPEG files when available, PIL otherwise.
 
     Returns:
       (image_u8, pil_image, scale_factor, original_shape) where image_u8 is
@@ -77,6 +86,15 @@ def load_image(
       and original_shape is (3, orig_h, orig_w) matching the reference's
       return convention (image.py:101).
     """
+    if (
+        use_native
+        and min_dimension_pixels
+        and os.path.isfile(url)
+        and url.lower().endswith((".jpg", ".jpeg"))
+    ):
+        result = _load_image_native(url, min_dimension_pixels, horizontal_flip)
+        if result is not None:
+            return result
     image = Image.open(url).convert("RGB")
     original_width, original_height = image.width, image.height
     if horizontal_flip:
@@ -94,3 +112,26 @@ def load_image(
         scale_factor = 1.0
     image_u8 = np.asarray(image, dtype=np.uint8)
     return image_u8, image, scale_factor, (3, original_height, original_width)
+
+
+def _load_image_native(url: str, min_dim: int, flip: bool):
+    """JPEG decode+resize via the C++ loader; None -> caller falls back."""
+    from fasterrcnn_tpu.data import native_loader
+
+    if not native_loader.available():
+        return None
+    try:
+        with open(url, "rb") as f:
+            jpeg = f.read()
+        scratch = np.empty(
+            (_NATIVE_SCRATCH_SIDE, _NATIVE_SCRATCH_SIDE, 3), np.uint8
+        )
+        rh, rw, oh, ow = native_loader.decode_resize_into(
+            jpeg, scratch, min_dim, flip
+        )
+    except Exception:
+        return None
+    image_u8 = np.ascontiguousarray(scratch[:rh, :rw])
+    scale_factor = compute_scale_factor(ow, oh, min_dim)
+    pil_image = Image.fromarray(image_u8)
+    return image_u8, pil_image, scale_factor, (3, oh, ow)

@@ -143,6 +143,7 @@ class FasterRCNN(nn.Module):
                 cfg.rpn.post_nms_infer,
                 cfg.rpn.nms_iou_threshold,
                 cfg.rpn.min_proposal_side,
+                use_pallas=nms_ops.default_backend_uses_pallas(),
             )
         )(logits, deltas, image_hw)
         class_logits, box_deltas = self.detect_rois(fm, prop.boxes, image_hw)
@@ -224,6 +225,7 @@ def compute_losses(
             cfg.rpn.post_nms_train,
             cfg.rpn.nms_iou_threshold,
             cfg.rpn.min_proposal_side,
+            use_pallas=nms_ops.default_backend_uses_pallas(),
         )
         targets = anchor_ops.generate_rpn_targets(
             centers,
@@ -367,6 +369,7 @@ def make_predict_fn(model: FasterRCNN, canvas_h: int, canvas_w: int):
                 cfg.rpn.post_nms_infer,
                 cfg.rpn.nms_iou_threshold,
                 cfg.rpn.min_proposal_side,
+                use_pallas=nms_ops.default_backend_uses_pallas(),
             )
         )(logits, deltas, image_hw)
 
@@ -400,6 +403,7 @@ def make_predict_fn(model: FasterRCNN, canvas_h: int, canvas_w: int):
                     keep,
                     iou_threshold=cfg.detector.test_nms_iou_threshold,
                     max_outputs=max_det,
+                    use_pallas=nms_ops.default_backend_uses_pallas(),
                 )
                 return res.boxes, res.scores, res.valid
 

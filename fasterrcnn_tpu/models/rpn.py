@@ -81,6 +81,7 @@ def generate_proposals(
     post_nms_top_k: int,
     nms_iou_threshold: float = 0.7,
     min_side: float = 16.0,
+    use_pallas: bool = False,
 ) -> Proposals:
     """Single-image fixed-shape proposal generation (vmap over batch).
 
@@ -122,6 +123,7 @@ def generate_proposals(
         valid,
         iou_threshold=nms_iou_threshold,
         max_outputs=post_nms_top_k,
+        use_pallas=use_pallas,
     )
     # NMS scores are logits; proposals are consumed as boxes + validity only,
     # but return sigmoid scores for parity with the reference's outputs.

@@ -46,7 +46,16 @@ class NMSResult(NamedTuple):
     valid: jnp.ndarray  # (max_outputs,) 1.0 for real selections, 0 for padding
 
 
-@functools.partial(jax.jit, static_argnames=("max_outputs", "block_size"))
+def default_backend_uses_pallas() -> bool:
+    """Pallas fast path on real TPUs; XLA blocked path elsewhere (CPU tests,
+    interpreters)."""
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iou_threshold", "max_outputs", "block_size", "use_pallas"),
+)
 def nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -54,6 +63,7 @@ def nms(
     iou_threshold: float,
     max_outputs: int,
     block_size: int = 256,
+    use_pallas: bool = False,
 ) -> NMSResult:
     """Exact greedy NMS over K padded boxes; returns top max_outputs survivors.
 
@@ -64,11 +74,16 @@ def nms(
       iou_threshold: suppression threshold (strictly-greater comparison,
         matching torchvision).
       max_outputs: number of survivors to emit (score-ordered, padded).
+      use_pallas: run the suppression scan as the Pallas TPU kernel
+        (ops/pallas/nms_pallas.py) instead of the blocked XLA program.
     """
     k = boxes.shape[0]
     block_size = min(block_size, k)
     num_blocks = -(-k // block_size)
     pad = num_blocks * block_size - k
+    if use_pallas:  # the kernel's state is (R, 128) lane-major
+        pad = (-k) % 128
+        num_blocks = None
 
     valid = valid.astype(bool)
     scores = jnp.where(valid, scores.astype(jnp.float32), NEG_INF)
@@ -83,6 +98,18 @@ def nms(
         svalid = jnp.pad(svalid, ((0, pad),))
 
     kp = sboxes.shape[0]
+
+    if use_pallas:
+        from fasterrcnn_tpu.ops.pallas.nms_pallas import nms_keep_mask_pallas
+
+        keep = (
+            nms_keep_mask_pallas(
+                sboxes, svalid, iou_threshold, max_outputs
+            )
+            > 0
+        )
+        return _gather_survivors(sboxes, sscores, keep, max_outputs)
+
     keep = svalid
 
     def block_step(blk, keep):
@@ -113,9 +140,12 @@ def nms(
         return keep
 
     keep = jax.lax.fori_loop(0, num_blocks, block_step, keep)
+    return _gather_survivors(sboxes, sscores, keep, max_outputs)
 
-    # Gather the first max_outputs kept boxes in score order: kept boxes get
-    # priority by their (already sorted) position.
+
+def _gather_survivors(sboxes, sscores, keep, max_outputs: int) -> NMSResult:
+    """First max_outputs kept boxes in score order (inputs score-sorted)."""
+    kp = sboxes.shape[0]
     k_out = min(max_outputs, kp)
     priority = jnp.where(keep, jnp.arange(kp, 0, -1, dtype=jnp.int32), 0)
     _, sel = jax.lax.top_k(priority, k_out)
