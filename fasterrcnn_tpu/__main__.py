@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Use a synthetic dataset of N samples instead of "
                              "VOC (no dataset required)")
     parser.add_argument("--seed", metavar="n", type=int, default=0)
+    parser.add_argument("--custom-roi-pool", action="store_true",
+                        help="Use exact RoIPool quantization instead of "
+                             "crop-and-resize (tf2 parity flag; use when "
+                             "loading RoIPool-trained reference checkpoints)")
     parser.add_argument("--tiny", action="store_true",
                         help="Smoke-test mode: small synthetic images and "
                              "reduced proposal caps (fast compile; CI use)")
@@ -153,6 +157,7 @@ def main(argv=None):
                 max_detections_per_class=16,
             ),
             max_gt_boxes=8,
+            roi_mode="exact_pool" if options.custom_roi_pool else "crop",
         )
     else:
         model_cfg = ModelConfig(
@@ -160,6 +165,7 @@ def main(argv=None):
             allow_edge_proposals=not options.exclude_edge_proposals,
             compute_dtype=options.compute_dtype,
             detector=DetectorConfig(dropout=options.dropout),
+            roi_mode="exact_pool" if options.custom_roi_pool else "crop",
         )
     train_cfg = TrainConfig(
         learning_rate=options.learning_rate,

@@ -83,6 +83,11 @@ class ModelConfig:
     max_gt_boxes: int = 56
     # Compute dtype for conv/matmul heavy layers ("float32" or "bfloat16").
     compute_dtype: str = "float32"
+    # RoI feature extraction: "crop" = 14x14 bilinear crop + 2x2 max pool
+    # (tf2 tree fast path, detector.py:87-100); "exact_pool" = torchvision
+    # RoIPool quantization (pytorch tree / tf2 --custom-roi-pool,
+    # roi_pooling_layer.py) for parity with RoIPool-trained checkpoints.
+    roi_mode: str = "crop"
 
     @property
     def compute_jnp_dtype(self):

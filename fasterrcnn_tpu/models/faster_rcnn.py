@@ -113,9 +113,16 @@ class FasterRCNN(nn.Module):
         All images' RoIs are flattened into one (B*S, ...) stack so the head
         runs as a single large matmul chain (MXU-friendly).
         """
-        pooled = jax.vmap(
-            lambda f, b, hw: roi_ops.roi_pool_features(f, b, hw[0], hw[1], 7)
-        )(fm, roi_boxes, image_hw)
+        if self.cfg.roi_mode == "exact_pool":
+            spec = get_backbone(self.cfg.backbone)
+            scale = 1.0 / spec.feature_pixels
+            pooled = jax.vmap(
+                lambda f, b: roi_ops.roi_pool_exact(f, b, scale, 7)
+            )(fm, roi_boxes)
+        else:
+            pooled = jax.vmap(
+                lambda f, b, hw: roi_ops.roi_pool_features(f, b, hw[0], hw[1], 7)
+            )(fm, roi_boxes, image_hw)
         bsz, s = pooled.shape[0], pooled.shape[1]
         flat = pooled.reshape(bsz * s, *pooled.shape[2:])
         vec = self.roi_head(flat, deterministic=deterministic)
@@ -397,13 +404,15 @@ def make_predict_fn(model: FasterRCNN, canvas_h: int, canvas_w: int):
                 # Predict-time clip is to [0, dim-1] (faster_rcnn.py:200-201).
                 decoded = box_ops.clip_to_image(decoded, hw[0] - 1.0, hw[1] - 1.0)
                 keep = (cls_scores > score_threshold) & (valid > 0)
+                # Per-class NMS stays on the XLA blocked path: it is 640
+                # small problems (B*20 x K=300) that vectorize across the
+                # vmap, where per-problem Pallas kernels would serialize.
                 res = nms_ops.nms(
                     decoded,
                     cls_scores,
                     keep,
                     iou_threshold=cfg.detector.test_nms_iou_threshold,
                     max_outputs=max_det,
-                    use_pallas=nms_ops.default_backend_uses_pallas(),
                 )
                 return res.boxes, res.scores, res.valid
 

@@ -85,16 +85,19 @@ def crop_and_resize(
     wx = _interp_weights(xs, w).astype(compute_dtype)  # (P, S, W)
 
     # Contract H then W: (P,S,H) x (H,W,C) -> (P,S,W,C) -> (P,S,S,C),
-    # output layout (P, y, x, C). Precision HIGHEST: the TPU MXU's default
-    # f32 matmul uses bf16 passes (~4e-3 rel error), which is too lossy for
-    # interpolation *weights*; these contractions are a rounding error of the
-    # backbone's FLOPs, so full precision is free.
-    rows = jnp.einsum(
-        "psh,hwc->pswc", wy, feature_map, precision=jax.lax.Precision.HIGHEST
+    # output layout (P, y, x, C).
+    # Precision: on the f32 parity path, force full-precision matmuls — the
+    # TPU MXU's *default* f32 matmul uses bf16 passes (~4e-3 rel error),
+    # too lossy for interpolation weights. On the bf16 fast path the inputs
+    # are already bf16, and HIGHEST would upcast the (large) intermediates
+    # to f32 for no accuracy gain — use the native pass there.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
     )
-    crops = jnp.einsum(
-        "pqw,pswc->psqc", wx, rows, precision=jax.lax.Precision.HIGHEST
-    )
+    rows = jnp.einsum("psh,hwc->pswc", wy, feature_map, precision=precision)
+    crops = jnp.einsum("pqw,pswc->psqc", wx, rows, precision=precision)
     return crops
 
 
