@@ -51,7 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--periodic-eval-samples", metavar="count", type=int,
                         default=1000, help="Eval sample count after each epoch")
     parser.add_argument("--checkpoint-dir", metavar="dir",
-                        help="Save per-epoch checkpoints into this directory")
+                        help="Save per-epoch orbax checkpoints into this "
+                             "directory (enables --resume)")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume weights from the newest checkpoint in "
+                             "--checkpoint-dir (optimizer restarts fresh, "
+                             "honoring the current --learning-rate)")
     parser.add_argument("--plot", action="store_true",
                         help="Plot per-class average precision after eval")
     parser.add_argument("--log-csv", metavar="file",
@@ -213,7 +218,10 @@ def main(argv=None):
 
 
 def train(engine, options):
-    from fasterrcnn_tpu.utils.checkpoint import BestWeightsTracker, save_weights
+    from fasterrcnn_tpu.utils.checkpoint import (
+        BestWeightsTracker,
+        TrainCheckpointManager,
+    )
     from fasterrcnn_tpu.utils.csv_log import CSVLog
     from fasterrcnn_tpu.utils.stats import TrainingStatistics
 
@@ -240,8 +248,16 @@ def train(engine, options):
 
     csv = CSVLog(options.log_csv) if options.log_csv else None
     best = BestWeightsTracker(options.save_best_to) if options.save_best_to else None
+    ckpt_mgr = None
+    start_epoch = 1
     if options.checkpoint_dir:
-        os.makedirs(options.checkpoint_dir, exist_ok=True)
+        ckpt_mgr = TrainCheckpointManager(options.checkpoint_dir)
+        if options.resume:
+            restored = ckpt_mgr.restore_latest(engine.params)
+            if restored is not None:
+                engine.params, last_epoch = restored
+                engine.opt_state = engine.tx.init(engine.params)
+                start_epoch = last_epoch + 1
 
     profiling = False
     if options.profile_dir:
@@ -250,7 +266,7 @@ def train(engine, options):
         jax.profiler.start_trace(options.profile_dir)
         profiling = True
 
-    for epoch in range(1, 1 + options.epochs):
+    for epoch in range(start_epoch, 1 + options.epochs):
         print("Epoch %d/%d" % (epoch, options.epochs))
         stats = engine.train_epoch(train_data, options.batch_size)
         if profiling:
@@ -264,12 +280,8 @@ def train(engine, options):
             batch_size=options.eval_batch_size,
             num_samples=options.periodic_eval_samples,
         )
-        if options.checkpoint_dir:
-            path = os.path.join(
-                options.checkpoint_dir,
-                "checkpoint-epoch-%d-mAP-%1.1f.msgpack" % (epoch, mean_ap),
-            )
-            save_weights(path, engine.params)
+        if ckpt_mgr is not None:
+            ckpt_mgr.save(epoch, engine.params, mean_ap)
         if csv:
             log_items = {
                 "epoch": epoch,
@@ -283,6 +295,8 @@ def train(engine, options):
             csv.log(log_items)
         if best:
             best.on_epoch_end(engine.params, epoch, mean_ap)
+    if ckpt_mgr is not None:
+        ckpt_mgr.close()
     if options.save_to:
         engine.save_weights(options.save_to)
     if best:

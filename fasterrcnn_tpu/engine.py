@@ -103,7 +103,14 @@ def host_to_device_batch(hb: HostBatch) -> Batch:
 
 
 class Engine:
-    """Holds params/opt state and per-canvas compiled programs."""
+    """Holds params/opt state and per-canvas compiled programs.
+
+    Pass a `jax.sharding.Mesh` (parallel/mesh.make_mesh) to scale out:
+    parameters are placed per parallel/mesh.param_shardings (replicated
+    except the tp-split detector fc pair) and every batch is sharded along
+    dp; XLA GSPMD inserts the gradient all-reduce and fc collectives. Batch
+    sizes must be divisible by the dp extent.
+    """
 
     def __init__(
         self,
@@ -111,16 +118,31 @@ class Engine:
         train_cfg: TrainConfig = TrainConfig(),
         seed: int = 0,
         init_canvas: Tuple[int, int] = (608, 800),
+        mesh=None,
     ):
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.model = FasterRCNN(cfg=model_cfg)
+        self.mesh = mesh
         self.params = init_params(self.model, *init_canvas, seed=seed)
         self.tx, self.labels = make_optimizer(model_cfg, train_cfg, self.params)
+        if mesh is not None:
+            from fasterrcnn_tpu.parallel import mesh as mesh_lib
+
+            self.params = jax.device_put(
+                self.params, mesh_lib.param_shardings(mesh, self.params)
+            )
         self.opt_state = self.tx.init(self.params)
         self._train_steps: Dict[Tuple[int, int], callable] = {}
         self._predict_fns: Dict[Tuple[int, int], callable] = {}
         self._rng = jax.random.key(seed)
+
+    def _shard_batch(self, batch: Batch) -> Batch:
+        if self.mesh is None:
+            return batch
+        from fasterrcnn_tpu.parallel import mesh as mesh_lib
+
+        return jax.device_put(batch, mesh_lib.batch_shardings(self.mesh, batch))
 
     # -- weights ----------------------------------------------------------
 
@@ -174,7 +196,10 @@ class Engine:
                 break
             step = self.train_step_for(hb.canvas_hw)
             self.params, self.opt_state, losses = step(
-                self.params, self.opt_state, host_to_device_batch(hb), self.next_rng()
+                self.params,
+                self.opt_state,
+                self._shard_batch(host_to_device_batch(hb)),
+                self.next_rng(),
             )
             stats.on_training_step(losses)
             if progress:
@@ -205,10 +230,22 @@ class Engine:
             if num_samples is not None and seen >= num_samples:
                 break
             predict = self.predict_fn_for(hb.canvas_hw)
+            images = jnp.asarray(hb.images)
+            image_hw = jnp.asarray(hb.image_hw)
+            if self.mesh is not None:
+                from fasterrcnn_tpu.parallel import mesh as mesh_lib
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                images = jax.device_put(
+                    images, NamedSharding(self.mesh, P("dp", None, None, None))
+                )
+                image_hw = jax.device_put(
+                    image_hw, NamedSharding(self.mesh, P("dp", None))
+                )
             det = predict(
                 self.params,
-                jnp.asarray(hb.images),
-                jnp.asarray(hb.image_hw),
+                images,
+                image_hw,
                 score_threshold=score_threshold,
             )
             per_image = postprocess.detections_to_dicts(det)

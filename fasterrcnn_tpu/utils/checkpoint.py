@@ -298,6 +298,72 @@ def load(params, filepath: str):
     )
 
 
+class TrainCheckpointManager:
+    """Per-epoch orbax checkpoints with auto-resume.
+
+    The recovery story the reference lacked (SURVEY.md section 5 "failure
+    detection": manual rerun with --load-from). Stores {params, epoch, mAP}
+    per epoch; `restore_latest` resumes interrupted training. Deliberately
+    does NOT store optimizer state — resume restores weights only so a new
+    learning rate is honored (reference README.md:231-256).
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self._dir = os.path.abspath(directory)
+        os.makedirs(self._dir, exist_ok=True)
+        self._manager = ocp.CheckpointManager(
+            self._dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, epoch: int, params, mAP: float) -> None:
+        import orbax.checkpoint as ocp
+
+        self._manager.save(
+            epoch,
+            args=ocp.args.Composite(
+                params=ocp.args.StandardSave(jax.device_get(params)),
+                meta=ocp.args.JsonSave({"epoch": epoch, "mAP": float(mAP)}),
+            ),
+        )
+        self._manager.wait_until_finished()
+        print(
+            "Saved checkpoint for epoch %d (mAP %.1f%%) to '%s'"
+            % (epoch, mAP, self._dir)
+        )
+
+    def latest_epoch(self) -> Optional[int]:
+        step = self._manager.latest_step()
+        return None if step is None else int(step)
+
+    def restore_latest(self, params_template):
+        """(params, epoch) from the newest checkpoint, or None."""
+        import orbax.checkpoint as ocp
+
+        step = self._manager.latest_step()
+        if step is None:
+            return None
+        restored = self._manager.restore(
+            step,
+            args=ocp.args.Composite(
+                params=ocp.args.StandardRestore(jax.device_get(params_template)),
+                meta=ocp.args.JsonRestore(),
+            ),
+        )
+        print(
+            "Resumed from checkpoint epoch %d (mAP %.1f%%) in '%s'"
+            % (step, restored["meta"].get("mAP", 0.0), self._dir)
+        )
+        return restored["params"], int(step)
+
+    def close(self):
+        self._manager.close()
+
+
 class BestWeightsTracker:
     """Keep the best-mAP weights in memory; save at end (state.py:274-289)."""
 

@@ -34,7 +34,28 @@ def test_cli_train_eval_predict(tmp_path):
     lines = csv_path.read_text().strip().splitlines()
     assert lines[0].startswith("epoch,")
     assert len(lines) == 2
-    assert any(f.startswith("checkpoint-epoch-1") for f in os.listdir(ckpt_dir))
+    # orbax per-epoch checkpoint directory for epoch 1
+    assert "1" in os.listdir(ckpt_dir)
+
+    # Resume: continue to epoch 2 from the stored epoch-1 checkpoint.
+    main(
+        [
+            "--train",
+            "--synthetic", "8",
+            "--tiny",
+            "--epochs", "2",
+            "--batch-size", "4",
+            "--eval-batch-size", "4",
+            "--periodic-eval-samples", "2",
+            "--checkpoint-dir", str(ckpt_dir),
+            "--resume",
+            "--log-csv", str(csv_path),
+        ]
+    )
+    assert "2" in os.listdir(ckpt_dir)
+    lines = csv_path.read_text().strip().splitlines()
+    # resumed run trains only epoch 2 -> exactly one more csv row
+    assert len(lines) == 3 and lines[-1].startswith("2,")
 
     #
 
