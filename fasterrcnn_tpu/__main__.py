@@ -11,9 +11,7 @@ additions (--batch-size, --compute-dtype, --synthetic, --profile-dir).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
-import sys
 
 import numpy as np
 

@@ -15,9 +15,7 @@ Key differences from the reference driver:
 
 from __future__ import annotations
 
-import dataclasses
 import re
-import time
 from typing import Dict, Iterable, Optional, Tuple
 
 import jax

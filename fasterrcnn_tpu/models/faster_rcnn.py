@@ -22,7 +22,7 @@ Capability parity with reference pytorch/FasterRCNN/models/faster_rcnn.py:27-561
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -120,8 +120,14 @@ class FasterRCNN(nn.Module):
                 lambda f, b: roi_ops.roi_pool_exact(f, b, scale, 7)
             )(fm, roi_boxes)
         else:
+            # Chunk the bilinear crop over RoIs to bound the (chunk,14,W,C)
+            # intermediate (peak-memory hot spot at large batch).
+            p = roi_boxes.shape[1]
+            chunk = next((c for c in (64, 50, 32, 25, 16) if p % c == 0 and p > c), 0)
             pooled = jax.vmap(
-                lambda f, b, hw: roi_ops.roi_pool_features(f, b, hw[0], hw[1], 7)
+                lambda f, b, hw: roi_ops.roi_pool_features(
+                    f, b, hw[0], hw[1], 7, roi_chunk=chunk
+                )
             )(fm, roi_boxes, image_hw)
         bsz, s = pooled.shape[0], pooled.shape[1]
         flat = pooled.reshape(bsz * s, *pooled.shape[2:])
