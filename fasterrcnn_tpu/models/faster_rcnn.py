@@ -124,11 +124,29 @@ class FasterRCNN(nn.Module):
             # intermediate (peak-memory hot spot at large batch).
             p = roi_boxes.shape[1]
             chunk = next((c for c in (64, 50, 32, 25, 16) if p % c == 0 and p > c), 0)
-            pooled = jax.vmap(
-                lambda f, b, hw: roi_ops.roi_pool_features(
-                    f, b, hw[0], hw[1], 7, roi_chunk=chunk
+            spec = get_backbone(self.cfg.backbone)
+
+            def pool_one(f, b, hw):
+                # The feature map spans the padded canvas; RoIs must land on
+                # the real image's sub-grid, not be stretched to the canvas.
+                fh, fw = anchor_ops.real_feature_map_size(
+                    hw[0].astype(jnp.int32),
+                    hw[1].astype(jnp.int32),
+                    spec.feature_pixels,
+                    spec.fm_ceil_mode,
                 )
-            )(fm, roi_boxes, image_hw)
+                return roi_ops.roi_pool_features(
+                    f,
+                    b,
+                    hw[0],
+                    hw[1],
+                    7,
+                    roi_chunk=chunk,
+                    fm_height=fh.astype(jnp.float32),
+                    fm_width=fw.astype(jnp.float32),
+                )
+
+            pooled = jax.vmap(pool_one)(fm, roi_boxes, image_hw)
         bsz, s = pooled.shape[0], pooled.shape[1]
         flat = pooled.reshape(bsz * s, *pooled.shape[2:])
         vec = self.roi_head(flat, deterministic=deterministic)

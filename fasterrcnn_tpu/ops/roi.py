@@ -54,11 +54,15 @@ def crop_and_resize(
     image_width,
     crop_size: int = 14,
     roi_chunk: int = 0,
+    fm_height=None,
+    fm_width=None,
 ) -> jnp.ndarray:
     """Bilinear crop of each RoI to (crop_size, crop_size), tf2-tree semantics.
 
     Args:
-      feature_map: (H, W, C) NHWC feature map (single image).
+      feature_map: (H, W, C) NHWC feature map (single image). May be a
+        padded-canvas map whose top-left (fm_height, fm_width) sub-grid
+        corresponds to the real image.
       rois: (P, 4) boxes (y1, x1, y2, x2) in *image pixel* coordinates.
       image_height / image_width: real image extent in pixels (the tf2 tree
         normalizes RoIs by the image size, tf2 detector.py:92-96).
@@ -67,19 +71,30 @@ def crop_and_resize(
         of this size, bounding the (chunk, crop, W, C) intermediate — the
         full (P, crop, W, C) tensor is the peak-memory hot spot at large
         batch (6.9 GB at B=32, P=300 on a 38x50x512 map).
+      fm_height / fm_width: extent of the *real* feature grid (the cells the
+        real image actually produced). Defaults to the full map shape — only
+        correct when the map is unpadded. On a padded canvas, normalizing
+        by the image but sampling the canvas grid stretches positions by
+        canvas/image per axis; pass the real grid extent.
 
     Returns:
       (P, crop_size, crop_size, C) crops.
 
     Sampling grid matches tf.image.crop_and_resize: normalized corners map to
-    [0, dim-1] source space and crop_size points span them inclusively.
+    [0, fm_dim-1] source space and crop_size points span them inclusively.
     """
     p = rois.shape[0]
     if roi_chunk and p % roi_chunk == 0 and p > roi_chunk:
         chunked = rois.reshape(p // roi_chunk, roi_chunk, 4)
         out = jax.lax.map(
             lambda r: crop_and_resize(
-                feature_map, r, image_height, image_width, crop_size
+                feature_map,
+                r,
+                image_height,
+                image_width,
+                crop_size,
+                fm_height=fm_height,
+                fm_width=fm_width,
             ),
             chunked,
         )
@@ -87,11 +102,13 @@ def crop_and_resize(
 
     h, w, c = feature_map.shape
     compute_dtype = feature_map.dtype
+    fm_h = h if fm_height is None else fm_height
+    fm_w = w if fm_width is None else fm_width
 
-    y1 = rois[:, 0] / image_height * (h - 1)
-    x1 = rois[:, 1] / image_width * (w - 1)
-    y2 = rois[:, 2] / image_height * (h - 1)
-    x2 = rois[:, 3] / image_width * (w - 1)
+    y1 = rois[:, 0] / image_height * (fm_h - 1)
+    x1 = rois[:, 1] / image_width * (fm_w - 1)
+    y2 = rois[:, 2] / image_height * (fm_h - 1)
+    x2 = rois[:, 3] / image_width * (fm_w - 1)
 
     steps = jnp.arange(crop_size, dtype=jnp.float32) / max(crop_size - 1, 1)
     ys = y1[:, None] + (y2 - y1)[:, None] * steps[None, :]  # (P, S)
@@ -124,6 +141,8 @@ def roi_pool_features(
     image_width,
     output_size: int = 7,
     roi_chunk: int = 0,
+    fm_height=None,
+    fm_width=None,
 ) -> jnp.ndarray:
     """Fast-path RoI pooling: 2*output_size bilinear crop + 2x2 max pool.
 
@@ -138,6 +157,8 @@ def roi_pool_features(
         image_width,
         crop_size=2 * output_size,
         roi_chunk=roi_chunk,
+        fm_height=fm_height,
+        fm_width=fm_width,
     )
     p, s, _, c = crops.shape
     pooled = crops.reshape(p, output_size, 2, output_size, 2, c).max(axis=(2, 4))

@@ -120,6 +120,65 @@ def test_roi_pool_exact_matches_torchvision_rules(seed):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_crop_and_resize_padded_canvas_alignment(seed):
+    """A 600x620 image in a 608x800 bucket: crops from the padded-canvas
+    feature map (with the real fm extent passed) must equal crops from the
+    unpadded real feature map — the advisor-confirmed round-1 bug read
+    zero-padding because positions were stretched by canvas/image."""
+    rng = np.random.default_rng(seed)
+    img_h, img_w = 600.0, 620.0
+    real_fh, real_fw = 600 // 16, 620 // 16  # 37, 38 (VGG floor rule)
+    canvas_fh, canvas_fw = 608 // 16, 800 // 16  # 38, 50
+    real_fm = rng.normal(size=(real_fh, real_fw, 8)).astype(np.float32)
+    canvas_fm = np.zeros((canvas_fh, canvas_fw, 8), np.float32)
+    canvas_fm[:real_fh, :real_fw] = real_fm
+    rois = random_rois(rng, 16, img_h, img_w)
+
+    want = np.asarray(
+        roi_ops.crop_and_resize(jnp.asarray(real_fm), jnp.asarray(rois), img_h, img_w, 14)
+    )
+    got = np.asarray(
+        roi_ops.crop_and_resize(
+            jnp.asarray(canvas_fm),
+            jnp.asarray(rois),
+            img_h,
+            img_w,
+            14,
+            fm_height=float(real_fh),
+            fm_width=float(real_fw),
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_roi_pool_features_padded_canvas_alignment():
+    """Same property through the full pool path (crop + 2x2 max), chunked."""
+    rng = np.random.default_rng(7)
+    img_h, img_w = 600.0, 620.0
+    real_fh, real_fw = 37, 38
+    real_fm = rng.normal(size=(real_fh, real_fw, 8)).astype(np.float32)
+    canvas_fm = np.zeros((38, 50, 8), np.float32)
+    canvas_fm[:real_fh, :real_fw] = real_fm
+    rois = random_rois(rng, 32, img_h, img_w)
+    want = np.asarray(
+        roi_ops.roi_pool_features(jnp.asarray(real_fm), jnp.asarray(rois), img_h, img_w, 7)
+    )
+    got = np.asarray(
+        roi_ops.roi_pool_features(
+            jnp.asarray(canvas_fm),
+            jnp.asarray(rois),
+            img_h,
+            img_w,
+            7,
+            roi_chunk=16,
+            fm_height=float(real_fh),
+            fm_width=float(real_fw),
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def test_roi_pool_exact_halfpoint_rounding():
     # x * 1/16 landing exactly on .5 must round half-up like C++ round().
     fm = np.arange(20 * 20, dtype=np.float32).reshape(20, 20)[:, :, None]
