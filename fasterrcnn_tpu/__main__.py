@@ -98,6 +98,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile-dir", metavar="dir",
                         help="Capture a jax.profiler trace of training steps "
                              "into this directory (view with xprof/tensorboard)")
+    parser.add_argument("--num-devices", metavar="n", type=int, default=0,
+                        help="Shard work over the first n devices of a "
+                             "(dp, tp) jax mesh (0 = single device). "
+                             "batch sizes must divide by n/tp")
+    parser.add_argument("--tp", metavar="n", type=int, default=1,
+                        help="Tensor-parallel extent of the mesh (megatron "
+                             "split of the detector fc pair); must divide "
+                             "--num-devices")
     return parser
 
 
@@ -182,11 +190,21 @@ def main(argv=None):
         beta1=options.beta1,
         beta2=options.beta2,
     )
+    mesh = None
+    if options.num_devices or options.tp > 1:
+        from fasterrcnn_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(options.num_devices or None, tp=options.tp)
+        print(
+            "Device mesh       : dp=%d x tp=%d" % (mesh.shape["dp"], mesh.shape["tp"])
+        )
+
     engine = Engine(
         model_cfg,
         train_cfg,
         seed=options.seed,
         init_canvas=(128, 160) if options.tiny else (608, 800),
+        mesh=mesh,
     )
     if options.load_from:
         engine.load_weights(options.load_from)

@@ -23,14 +23,25 @@ from fasterrcnn_tpu.data.voc import Sample
 class HostBatch:
     """Numpy staging of models.faster_rcnn.Batch plus per-sample metadata."""
 
-    def __init__(self, canvas_hw, images, image_hw, gt_boxes, gt_classes, gt_mask, samples):
+    def __init__(
+        self,
+        canvas_hw,
+        images,
+        image_hw,
+        gt_boxes,
+        gt_classes,
+        gt_mask,
+        sample_weight,
+        samples,
+    ):
         self.canvas_hw: Tuple[int, int] = canvas_hw
         self.images: np.ndarray = images  # (B, Hc, Wc, 3) u8
         self.image_hw: np.ndarray = image_hw  # (B, 2) f32
         self.gt_boxes: np.ndarray = gt_boxes  # (B, G, 4) f32
         self.gt_classes: np.ndarray = gt_classes  # (B, G) i32
         self.gt_mask: np.ndarray = gt_mask  # (B, G) f32
-        self.samples: List[Sample] = samples
+        self.sample_weight: np.ndarray = sample_weight  # (B,) f32
+        self.samples: List[Sample] = samples  # real samples only (<= B)
 
 
 def pad_sample_into(batch_images, i, sample: Sample):
@@ -39,18 +50,34 @@ def pad_sample_into(batch_images, i, sample: Sample):
 
 
 def make_host_batch(
-    samples: List[Sample], canvas_hw: Tuple[int, int], max_gt: int
+    samples: List[Sample],
+    canvas_hw: Tuple[int, int],
+    max_gt: int,
+    pad_to: Optional[int] = None,
 ) -> HostBatch:
-    b = len(samples)
+    """Stage samples into one padded canvas batch.
+
+    pad_to: if set and > len(samples), the batch is padded with blank images
+    (zero pixels, full-canvas extent, no GT) of sample_weight 0, so residue
+    batches reuse the full-size compiled program instead of tracing a new
+    shape — on the real chip one extra compile costs minutes.
+    """
+    b = max(len(samples), pad_to or 0)
     ch, cw = canvas_hw
     images = np.zeros((b, ch, cw, 3), np.uint8)
-    image_hw = np.zeros((b, 2), np.float32)
+    # Padding rows use the canvas extent: a zero-size extent would divide by
+    # zero in RoI normalization and poison gradients with NaN * 0.
+    image_hw = np.tile(
+        np.asarray([[float(ch), float(cw)]], np.float32), (b, 1)
+    )
     gt_boxes = np.zeros((b, max_gt, 4), np.float32)
     gt_classes = np.zeros((b, max_gt), np.int32)
     gt_mask = np.zeros((b, max_gt), np.float32)
+    sample_weight = np.zeros((b,), np.float32)
     for i, s in enumerate(samples):
         pad_sample_into(images, i, s)
         image_hw[i] = s.image_hw
+        sample_weight[i] = 1.0
         n = min(len(s.gt_boxes), max_gt)
         if len(s.gt_boxes) > max_gt:
             raise ValueError(
@@ -60,7 +87,16 @@ def make_host_batch(
             gt_boxes[i, j] = s.gt_boxes[j].corners
             gt_classes[i, j] = s.gt_boxes[j].class_index
             gt_mask[i, j] = 1.0
-    return HostBatch(canvas_hw, images, image_hw, gt_boxes, gt_classes, gt_mask, samples)
+    return HostBatch(
+        canvas_hw,
+        images,
+        image_hw,
+        gt_boxes,
+        gt_classes,
+        gt_mask,
+        sample_weight,
+        samples,
+    )
 
 
 def batched(
@@ -68,13 +104,15 @@ def batched(
     batch_size: int,
     max_gt: int,
     drop_remainder: bool = False,
+    pad_residues: bool = True,
 ) -> Iterator[HostBatch]:
     """Group samples by canvas bucket and emit padded batches.
 
     Per-bucket accumulation keeps every batch a single static shape. At
-    iterator end, each bucket's residue is emitted as one smaller batch
-    (at most one extra compiled program per bucket per epoch); pass
-    drop_remainder=True to skip residues instead.
+    iterator end, each bucket's residue is padded up to batch_size with
+    zero-weight blanks (default — exactly one compiled shape per bucket),
+    emitted at its natural smaller size (pad_residues=False), or dropped
+    (drop_remainder=True).
     """
     pending = {hw: [] for hw in CANVAS_BUCKETS}
     for sample in dataset:
@@ -86,29 +124,63 @@ def batched(
     if not drop_remainder:
         for hw, group in pending.items():
             if group:
-                yield make_host_batch(group, hw, max_gt)
+                yield make_host_batch(
+                    group, hw, max_gt, pad_to=batch_size if pad_residues else None
+                )
 
 
 class Prefetcher:
-    """Run an iterator in a background thread with a bounded queue."""
+    """Run an iterator in a background thread with a bounded queue.
+
+    Cancellable: `close()` stops the worker promptly (it checks the stop flag
+    around every blocking put), so an early-exiting consumer — e.g. periodic
+    eval of the first N samples — doesn't keep decoding the rest of the split
+    in the background on this 1-core host.
+    """
 
     _DONE = object()
 
     def __init__(self, iterator: Iterator, depth: int = 4):
         self._queue: queue.Queue = queue.Queue(maxsize=depth)
         self._error: Optional[BaseException] = None
+        self._stop = threading.Event()
 
         def worker():
             try:
                 for item in iterator:
-                    self._queue.put(item)
+                    while not self._stop.is_set():
+                        try:
+                            self._queue.put(item, timeout=0.05)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 self._error = e
             finally:
-                self._queue.put(self._DONE)
+                while True:
+                    try:
+                        self._queue.put_nowait(self._DONE)
+                        break
+                    except queue.Full:
+                        try:
+                            self._queue.get_nowait()
+                        except queue.Empty:
+                            pass
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
+
+    def close(self, timeout: float = 5.0):
+        """Stop the worker and drop queued items."""
+        self._stop.set()
+        while True:  # unblock a put stuck on a full queue
+            try:
+                self._queue.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=timeout)
 
     def __iter__(self):
         return self

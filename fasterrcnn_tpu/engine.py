@@ -97,6 +97,7 @@ def host_to_device_batch(hb: HostBatch) -> Batch:
         gt_boxes=jnp.asarray(hb.gt_boxes),
         gt_classes=jnp.asarray(hb.gt_classes),
         gt_mask=jnp.asarray(hb.gt_mask),
+        sample_weight=jnp.asarray(hb.sample_weight),
     )
 
 
@@ -130,7 +131,16 @@ class Engine:
             self.params = jax.device_put(
                 self.params, mesh_lib.param_shardings(mesh, self.params)
             )
-        self.opt_state = self.tx.init(self.params)
+            # Place the optimizer state explicitly: its traces mirror the
+            # params tree, so the same sharding rules apply. Leaving placement
+            # to eager init yields equivalent-but-distinct (or uncommitted)
+            # shardings that recompile the train step at its second call.
+            self.opt_state = self.tx.init(self.params)
+            self.opt_state = jax.device_put(
+                self.opt_state, mesh_lib.param_shardings(mesh, self.opt_state)
+            )
+        else:
+            self.opt_state = self.tx.init(self.params)
         self._train_steps: Dict[Tuple[int, int], callable] = {}
         self._predict_fns: Dict[Tuple[int, int], callable] = {}
         self._rng = jax.random.key(seed)
@@ -141,6 +151,18 @@ class Engine:
         from fasterrcnn_tpu.parallel import mesh as mesh_lib
 
         return jax.device_put(batch, mesh_lib.batch_shardings(self.mesh, batch))
+
+    def _check_batch_size(self, batch_size: int) -> None:
+        if self.mesh is None:
+            return
+        dp = self.mesh.shape.get("dp", 1)
+        if batch_size % dp != 0:
+            raise ValueError(
+                f"batch_size={batch_size} is not divisible by the mesh's "
+                f"dp extent {dp}; every batch is sharded along dp "
+                "(residues are padded to batch_size, so only the full size "
+                "must divide)"
+            )
 
     # -- weights ----------------------------------------------------------
 
@@ -180,6 +202,7 @@ class Engine:
         max_steps: Optional[int] = None,
     ) -> TrainingStatistics:
         stats = stats or TrainingStatistics()
+        self._check_batch_size(batch_size)
         batches = Prefetcher(
             batched(iter(dataset), batch_size, self.model_cfg.max_gt_boxes)
         )
@@ -189,19 +212,22 @@ class Engine:
 
             total = (getattr(dataset, "num_samples", 0) + batch_size - 1) // batch_size
             iterator = tqdm(batches, total=total or None)
-        for step_idx, hb in enumerate(iterator):
-            if max_steps is not None and step_idx >= max_steps:
-                break
-            step = self.train_step_for(hb.canvas_hw)
-            self.params, self.opt_state, losses = step(
-                self.params,
-                self.opt_state,
-                self._shard_batch(host_to_device_batch(hb)),
-                self.next_rng(),
-            )
-            stats.on_training_step(losses)
-            if progress:
-                iterator.set_postfix(stats.get_progbar_postfix())
+        try:
+            for step_idx, hb in enumerate(iterator):
+                if max_steps is not None and step_idx >= max_steps:
+                    break
+                step = self.train_step_for(hb.canvas_hw)
+                self.params, self.opt_state, losses = step(
+                    self.params,
+                    self.opt_state,
+                    self._shard_batch(host_to_device_batch(hb)),
+                    self.next_rng(),
+                )
+                stats.on_training_step(losses)
+                if progress:
+                    iterator.set_postfix(stats.get_progbar_postfix())
+        finally:
+            batches.close()
         return stats
 
     def evaluate(
@@ -215,45 +241,58 @@ class Engine:
         progress: bool = True,
     ) -> float:
         calc = PrecisionRecallCurveCalculator()
+        self._check_batch_size(batch_size)
         seen = 0
+        source = iter(dataset)
+        if num_samples is not None:
+            # Bound the decode work up front: without this, the prefetch
+            # thread would keep decoding the rest of the split after the
+            # early exit below.
+            import itertools
+
+            source = itertools.islice(source, num_samples)
         batches = Prefetcher(
-            batched(iter(dataset), batch_size, self.model_cfg.max_gt_boxes)
+            batched(source, batch_size, self.model_cfg.max_gt_boxes)
         )
         if progress:
             from tqdm import tqdm
 
             total_samples = num_samples or getattr(dataset, "num_samples", None)
             bar = tqdm(total=total_samples)
-        for hb in batches:
-            if num_samples is not None and seen >= num_samples:
-                break
-            predict = self.predict_fn_for(hb.canvas_hw)
-            images = jnp.asarray(hb.images)
-            image_hw = jnp.asarray(hb.image_hw)
-            if self.mesh is not None:
-                from fasterrcnn_tpu.parallel import mesh as mesh_lib
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                images = jax.device_put(
-                    images, NamedSharding(self.mesh, P("dp", None, None, None))
-                )
-                image_hw = jax.device_put(
-                    image_hw, NamedSharding(self.mesh, P("dp", None))
-                )
-            det = predict(
-                self.params,
-                images,
-                image_hw,
-                score_threshold=score_threshold,
-            )
-            per_image = postprocess.detections_to_dicts(det)
-            for sample, scored in zip(hb.samples, per_image):
+        try:
+            for hb in batches:
                 if num_samples is not None and seen >= num_samples:
                     break
-                calc.add_image_results(scored, sample.gt_boxes)
-                seen += 1
-                if progress:
-                    bar.update(1)
+                predict = self.predict_fn_for(hb.canvas_hw)
+                images = jnp.asarray(hb.images)
+                image_hw = jnp.asarray(hb.image_hw)
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    images = jax.device_put(
+                        images, NamedSharding(self.mesh, P("dp", None, None, None))
+                    )
+                    image_hw = jax.device_put(
+                        image_hw, NamedSharding(self.mesh, P("dp", None))
+                    )
+                det = predict(
+                    self.params,
+                    images,
+                    image_hw,
+                    score_threshold=score_threshold,
+                )
+                per_image = postprocess.detections_to_dicts(det)
+                # hb.samples holds only real samples; zero-weight padding
+                # rows at the tail of a residue batch are dropped here.
+                for sample, scored in zip(hb.samples, per_image):
+                    if num_samples is not None and seen >= num_samples:
+                        break
+                    calc.add_image_results(scored, sample.gt_boxes)
+                    seen += 1
+                    if progress:
+                        bar.update(1)
+        finally:
+            batches.close()
         if progress:
             bar.close()
         if print_average_precisions:

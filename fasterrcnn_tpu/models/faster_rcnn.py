@@ -42,13 +42,20 @@ from fasterrcnn_tpu.ops import sampling as sampling_ops
 
 
 class Batch(NamedTuple):
-    """One padded training/eval batch (canvas-static shapes)."""
+    """One padded training/eval batch (canvas-static shapes).
+
+    Residue batches are padded to the full batch size with blank images of
+    sample_weight 0 so every bucket compiles exactly one program shape and
+    dp sharding always divides evenly; the loss is a weighted mean over
+    images, so padding never dilutes gradients.
+    """
 
     images: jnp.ndarray  # (B, Hc, Wc, 3) uint8
     image_hw: jnp.ndarray  # (B, 2) f32 real (height, width) per image
     gt_boxes: jnp.ndarray  # (B, G, 4) f32 corners
     gt_classes: jnp.ndarray  # (B, G) int32
     gt_mask: jnp.ndarray  # (B, G) f32
+    sample_weight: jnp.ndarray  # (B,) f32: 1 = real image, 0 = padding
 
 
 class Detections(NamedTuple):
@@ -339,7 +346,11 @@ def compute_losses(
         box_deltas,
         samples,
     )
-    mean = Losses(*(jnp.mean(v) for v in per))
+    # Weighted mean over images: padding images (sample_weight 0) are priced
+    # into the compute but contribute nothing to the loss or gradients.
+    w = batch.sample_weight
+    denom = jnp.sum(w) + 1e-7
+    mean = Losses(*(jnp.sum(v * w) / denom for v in per))
     return mean.total, mean
 
 

@@ -10,7 +10,7 @@ tf2/FasterRCNN/models/rpn.py:116) with XLA-friendly implementations:
     finished block then suppresses all lower-scored boxes in one parallel
     (B x K) IoU pass. This is the standard TPU formulation: K/B parallel
     sweeps instead of K fully-sequential steps.
-  * A Pallas kernel fast path lives in ops/pallas/nms_kernel.py (same
+  * A Pallas kernel fast path lives in ops/pallas/nms_pallas.py (same
     semantics, fused in VMEM); `nms` is the oracle it is tested against.
 
 Everything is static-shape: inputs are padded to K boxes with a validity

@@ -66,6 +66,28 @@ def _to_numpy_state(obj) -> Dict[str, np.ndarray]:
             for k, v in obj.items()}
 
 
+def _load_torch_file(filepath: str):
+    """torch.load with safe unpickling; arbitrary-code pickles are opt-in.
+
+    weights_only=True covers every real checkpoint format we import (plain
+    tensor dicts, incl. the reference's {'epoch', 'model_state_dict'} files).
+    A file that *requires* full unpickling executes arbitrary code from the
+    checkpoint, so that path is gated behind FASTERRCNN_UNSAFE_PICKLE=1.
+    """
+    import torch
+
+    try:
+        return torch.load(filepath, map_location="cpu", weights_only=True)
+    except Exception as e:
+        if os.environ.get("FASTERRCNN_UNSAFE_PICKLE") == "1":
+            return torch.load(filepath, map_location="cpu", weights_only=False)
+        raise ValueError(
+            f"'{filepath}' could not be loaded with safe unpickling "
+            f"(weights_only=True): {e}. If you trust this file, set "
+            "FASTERRCNN_UNSAFE_PICKLE=1 to allow full pickle execution."
+        ) from e
+
+
 def _set(params: Dict, path: str, value: np.ndarray) -> None:
     node = params
     *parents, leaf = path.split("/")
@@ -82,30 +104,49 @@ def _set(params: Dict, path: str, value: np.ndarray) -> None:
 # ---------------------------------------------------------------------------
 
 
-def import_caffe_vgg16(filepath: str, params: Dict) -> Dict:
-    """vgg16_caffe.pth (torch pickle): 13 convs + fc1/fc2 (state.py:178-219)."""
-    import torch
+def _import_torch_vgg16_state(state: Dict[str, np.ndarray], params: Dict,
+                              source: str) -> Dict:
+    """features.N / classifier.N torch VGG-16 state dict -> our tree.
 
-    caffe = _to_numpy_state(torch.load(filepath, map_location="cpu", weights_only=True))
+    Covers both pretrained VGG-16 sources the reference uses, which share
+    the module ordering: the Caffe conversion vgg16_caffe.pth
+    (state.py:178-219) and torchvision.models.vgg16 IMAGENET1K_V1
+    (vgg16_torch.py:27,47,67 — features[0:-1] convs + classifier 0/3
+    linears; classifier.6, the 1000-way head, is skipped)."""
     loaded = []
     for idx, layer in zip(_VGG_FEATURES_INDEX, VGG16_CONV_LAYERS):
         wk, bk = f"features.{idx}.weight", f"features.{idx}.bias"
-        if wk in caffe and bk in caffe:
-            _set(params, f"feature_extractor/{layer}/kernel", _oihw_to_hwio(caffe[wk]))
-            _set(params, f"feature_extractor/{layer}/bias", caffe[bk])
+        if wk in state and bk in state:
+            _set(params, f"feature_extractor/{layer}/kernel", _oihw_to_hwio(state[wk]))
+            _set(params, f"feature_extractor/{layer}/bias", state[bk])
             loaded.append(layer)
-    if "classifier.0.weight" in caffe:
-        _set(params, "roi_head/fc1/kernel", _torch_fc1_to_hwc(caffe["classifier.0.weight"]))
-        _set(params, "roi_head/fc1/bias", caffe["classifier.0.bias"])
+    if "classifier.0.weight" in state:
+        _set(params, "roi_head/fc1/kernel", _torch_fc1_to_hwc(state["classifier.0.weight"]))
+        _set(params, "roi_head/fc1/bias", state["classifier.0.bias"])
         loaded.append("fc1")
-    if "classifier.3.weight" in caffe:
-        _set(params, "roi_head/fc2/kernel", caffe["classifier.3.weight"].T)
-        _set(params, "roi_head/fc2/bias", caffe["classifier.3.bias"])
+    if "classifier.3.weight" in state:
+        _set(params, "roi_head/fc2/kernel", state["classifier.3.weight"].T)
+        _set(params, "roi_head/fc2/bias", state["classifier.3.bias"])
         loaded.append("fc2")
     if not loaded:
-        raise ValueError(f"'{filepath}' is not a Caffe VGG-16 model")
-    print(f"Loaded {len(loaded)} VGG-16 layers from Caffe model '{filepath}'")
+        raise ValueError(f"'{source}' is not a torch VGG-16 state dict")
+    print(f"Loaded {len(loaded)} VGG-16 layers from torch model '{source}'")
     return params
+
+
+def import_caffe_vgg16(filepath: str, params: Dict) -> Dict:
+    """vgg16_caffe.pth (torch pickle): 13 convs + fc1/fc2 (state.py:178-219)."""
+    state = _to_numpy_state(_load_torch_file(filepath))
+    return _import_torch_vgg16_state(state, params, filepath)
+
+
+def import_torchvision_vgg16(filepath: str, params: Dict) -> Dict:
+    """torchvision.models.vgg16 IMAGENET1K_V1 state dict, the reference's
+    second VGG-16 flavor (vgg16_torch.py:67). Same module indices as the
+    Caffe conversion; pair with the `vgg16-torch` backbone (RGB/255
+    preprocessing, vgg16_torch.py:64)."""
+    state = _to_numpy_state(_load_torch_file(filepath))
+    return _import_torch_vgg16_state(state, params, filepath)
 
 
 def import_keras_vgg16(filepath: str, params: Dict) -> Dict:
@@ -166,9 +207,13 @@ def _fold_bn(state: Dict[str, np.ndarray], prefix: str, eps: float = 1e-5):
 
 def import_torchvision_resnet(filepath: str, params: Dict) -> Dict:
     """torchvision resnet{50,101,152} state dict -> our FrozenBN tree."""
-    import torch
+    state = _to_numpy_state(_load_torch_file(filepath))
+    return _import_torchvision_resnet_state(state, params, filepath)
 
-    state = _to_numpy_state(torch.load(filepath, map_location="cpu", weights_only=True))
+
+def _import_torchvision_resnet_state(
+    state: Dict[str, np.ndarray], params: Dict, filepath: str
+) -> Dict:
     if "conv1.weight" not in state or "layer1.0.conv1.weight" not in state:
         raise ValueError(f"'{filepath}' is not a torchvision ResNet state dict")
 
@@ -215,12 +260,15 @@ def import_torchvision_resnet(filepath: str, params: Dict) -> Dict:
 def import_reference_checkpoint(filepath: str, params: Dict) -> Dict:
     """Full reference PyTorch checkpoint ({'model_state_dict': ...}) or bare
     reference state dict: backbone + RPN + detector (VGG-16 models)."""
-    import torch
-
-    raw = torch.load(filepath, map_location="cpu", weights_only=False)
+    raw = _load_torch_file(filepath)
     state = raw.get("model_state_dict", raw) if isinstance(raw, dict) else raw
     state = _to_numpy_state(state)
+    return _import_reference_state(state, params, filepath)
 
+
+def _import_reference_state(
+    state: Dict[str, np.ndarray], params: Dict, filepath: str
+) -> Dict:
     fe = "_stage1_feature_extractor._"
     if fe + "block1_conv1.weight" not in state:
         raise ValueError(f"'{filepath}' is not a reference FasterRCNN checkpoint")
@@ -272,30 +320,55 @@ def _as_mutable(params) -> Dict:
     return jax.tree.map(lambda x: np.asarray(x), flax.core.unfreeze(params))
 
 
-def load(params, filepath: str):
-    """Multi-format load into an existing param tree (state.py:221-272 order:
-    Keras h5, Caffe pth, reference checkpoint, then our own msgpack)."""
-    def _import_msgpack(fp, p):
-        with open(fp, "rb") as f:
-            return flax.serialization.from_bytes(p, f.read())
+def _sniff_format(filepath: str) -> str:
+    """Cheap file-signature detection: 'h5' | 'torch' | 'msgpack'.
 
+    h5 files start with the HDF5 magic; torch.save emits either a zip
+    archive ('PK..', torch >= 1.6) or a bare pickle ('\\x80<proto>'). Our
+    own msgpack weight files are everything else.
+    """
+    with open(filepath, "rb") as f:
+        magic = f.read(8)
+    if magic.startswith(b"\x89HDF"):
+        return "h5"
+    if magic.startswith(b"PK") or magic[:1] == b"\x80":
+        return "torch"
+    return "msgpack"
+
+
+def load(params, filepath: str):
+    """Multi-format load into an existing param tree (reference
+    state.py:221-272 covers Keras h5 / Caffe pth / reference checkpoints;
+    we add torchvision ResNet + VGG-16 dicts and our own msgpack files).
+
+    The format is detected from the file signature (then, for torch files,
+    from the state-dict keys), so a recognized-but-broken file raises its
+    own importer's error instead of a try-every-format dump.
+    """
     mutable = _as_mutable(params)
-    errors = []
-    for importer in (
-        import_keras_vgg16,
-        import_caffe_vgg16,
-        import_reference_checkpoint,
-        import_torchvision_resnet,
-        _import_msgpack,
-    ):
-        try:
-            loaded = importer(filepath, mutable)
-            return jax.tree.map(lambda x: np.asarray(x), loaded)
-        except Exception as e:  # try the next format
-            errors.append(f"{getattr(importer, '__name__', 'msgpack')}: {e}")
-    raise ValueError(
-        f"Could not load '{filepath}' in any known format:\n  " + "\n  ".join(errors)
-    )
+    kind = _sniff_format(filepath)
+    if kind == "h5":
+        loaded = import_keras_vgg16(filepath, mutable)
+    elif kind == "torch":
+        raw = _load_torch_file(filepath)
+        state = raw.get("model_state_dict", raw) if isinstance(raw, dict) else raw
+        state = _to_numpy_state(state)
+        if any(k.startswith("_stage1_feature_extractor.") for k in state):
+            loaded = _import_reference_state(state, mutable, filepath)
+        elif "layer1.0.conv1.weight" in state:
+            loaded = _import_torchvision_resnet_state(state, mutable, filepath)
+        elif "features.0.weight" in state:
+            loaded = _import_torch_vgg16_state(state, mutable, filepath)
+        else:
+            sample = ", ".join(sorted(state)[:5])
+            raise ValueError(
+                f"'{filepath}' is a torch state dict of unknown layout "
+                f"(first keys: {sample})"
+            )
+    else:
+        with open(filepath, "rb") as f:
+            loaded = flax.serialization.from_bytes(mutable, f.read())
+    return jax.tree.map(lambda x: np.asarray(x), loaded)
 
 
 class TrainCheckpointManager:

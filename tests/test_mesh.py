@@ -19,8 +19,13 @@ def test_param_spec_rules():
     from jax.sharding import PartitionSpec as P
 
     assert mesh_lib.param_spec("roi_head/fc1/kernel") == P(None, "tp")
-    assert mesh_lib.param_spec("roi_head/fc2/kernel") == P("tp", None)
+    assert mesh_lib.param_spec("roi_head/fc2/kernel") == P("tp")
     assert mesh_lib.param_spec("feature_extractor/block1_conv1/kernel") == P()
+    # Optimizer-state trace paths resolve to the same specs as their params.
+    assert (
+        mesh_lib.param_spec("inner_states/decayed/inner_state/0/0/trace/roi_head/fc1/kernel")
+        == P(None, "tp")
+    )
 
 
 def test_engine_trains_on_mesh():
@@ -43,11 +48,15 @@ def test_engine_trains_on_mesh():
     assert len(fc1.sharding.device_set) == 8
     assert fc1.sharding.spec == jax.sharding.PartitionSpec(None, "tp")
 
-    data = SyntheticDataset(num_samples=16, height=120, width=150, seed=0)
+    # 12 samples at bs=8: one full batch + one residue padded to 8 — the
+    # padded residue must shard along dp and reuse the compiled program.
+    data = SyntheticDataset(num_samples=12, height=120, width=150, seed=0)
     stats = engine.train_epoch(data, batch_size=8, progress=False)
     means = stats.means()
     assert np.isfinite(sum(means.values()))
     assert means["detector_class"] > 0
+    (step,) = engine._train_steps.values()
+    assert step._cache_size() == 1
 
     mAP = engine.evaluate(
         SyntheticDataset(num_samples=8, height=120, width=150, seed=1),
@@ -55,3 +64,41 @@ def test_engine_trains_on_mesh():
         progress=False,
     )
     assert 0.0 <= mAP <= 100.0
+
+
+def test_engine_rejects_indivisible_batch_size():
+    from fasterrcnn_tpu.config import TrainConfig
+    from fasterrcnn_tpu.data.synthetic import SyntheticDataset
+    from fasterrcnn_tpu.engine import Engine
+    from tests.test_model import tiny_config, CANVAS_H, CANVAS_W
+
+    engine = Engine(
+        tiny_config(),
+        TrainConfig(batch_size=6),
+        seed=0,
+        init_canvas=(CANVAS_H, CANVAS_W),
+        mesh=mesh_lib.make_mesh(8, tp=2),  # dp=4 does not divide 6
+    )
+    data = SyntheticDataset(num_samples=6, height=120, width=150, seed=0)
+    with pytest.raises(ValueError, match="divisible"):
+        engine.train_epoch(data, batch_size=6, progress=False)
+
+
+def test_adam_trains_on_mesh():
+    """GSPMD must propagate shardings through Adam's mu/nu state (the round-1
+    claim was only asserted for SGD momentum)."""
+    from fasterrcnn_tpu.config import TrainConfig
+    from fasterrcnn_tpu.data.synthetic import SyntheticDataset
+    from fasterrcnn_tpu.engine import Engine
+    from tests.test_model import tiny_config, CANVAS_H, CANVAS_W
+
+    engine = Engine(
+        tiny_config(),
+        TrainConfig(batch_size=8, optimizer="adam", learning_rate=1e-4),
+        seed=0,
+        init_canvas=(CANVAS_H, CANVAS_W),
+        mesh=mesh_lib.make_mesh(8, tp=2),
+    )
+    data = SyntheticDataset(num_samples=8, height=120, width=150, seed=0)
+    stats = engine.train_epoch(data, batch_size=8, progress=False)
+    assert np.isfinite(sum(stats.means().values()))

@@ -60,6 +60,7 @@ def synthetic_batch(rng, b=2, g=8):
         gt_boxes=jnp.asarray(gt_boxes),
         gt_classes=jnp.asarray(gt_classes),
         gt_mask=jnp.asarray(gt_mask),
+        sample_weight=jnp.ones((b,), jnp.float32),
     )
 
 
@@ -121,6 +122,66 @@ def test_train_step_decreases_loss(model_and_params):
             assert float(losses.rpn_regression) > 0.0
             assert float(losses.detector_class) > 0.0
     assert float(losses.total) < first, (first, float(losses.total))
+
+
+def test_padding_images_do_not_affect_loss(model_and_params):
+    """The weighted image mean makes the loss independent of zero-weight
+    padding rows: a 2-image batch padded to 4 (with arbitrary padding pixels)
+    yields the same loss as the unpadded batch."""
+    from fasterrcnn_tpu.models.faster_rcnn import anchor_grid_for, compute_losses
+
+    model, params = model_and_params
+    cfg = model.cfg
+    grid = anchor_grid_for(cfg, CANVAS_H, CANVAS_W)
+    rng = jax.random.key(7)
+    real = synthetic_batch(np.random.default_rng(3), b=2)
+
+    def pad_batch(base, pad_images):
+        return Batch(
+            images=jnp.concatenate([base.images, pad_images], 0),
+            image_hw=jnp.concatenate(
+                [base.image_hw, jnp.tile(jnp.asarray([[CANVAS_H, CANVAS_W]], jnp.float32), (2, 1))], 0
+            ),
+            gt_boxes=jnp.concatenate([base.gt_boxes, jnp.zeros((2, 8, 4), jnp.float32)], 0),
+            gt_classes=jnp.concatenate([base.gt_classes, jnp.zeros((2, 8), jnp.int32)], 0),
+            gt_mask=jnp.concatenate([base.gt_mask, jnp.zeros((2, 8), jnp.float32)], 0),
+            sample_weight=jnp.asarray([1.0, 1.0, 0.0, 0.0], jnp.float32),
+        )
+
+    blank = pad_batch(real, jnp.zeros((2, CANVAS_H, CANVAS_W, 3), jnp.uint8))
+    noisy = pad_batch(
+        real,
+        jnp.asarray(
+            np.random.default_rng(9).integers(0, 255, (2, CANVAS_H, CANVAS_W, 3), dtype=np.uint8)
+        ),
+    )
+    total_real, _ = compute_losses(model, params, real, rng, cfg, grid)
+    total_blank, _ = compute_losses(model, params, blank, rng, cfg, grid)
+    total_noisy, _ = compute_losses(model, params, noisy, rng, cfg, grid)
+    np.testing.assert_allclose(float(total_blank), float(total_noisy), rtol=1e-6)
+    # Key-split prefixes are stable, so the padded batch samples the same
+    # minibatches for the real rows and the losses agree.
+    np.testing.assert_allclose(float(total_blank), float(total_real), rtol=1e-5)
+
+
+def test_one_trace_per_bucket_with_residues():
+    """An epoch whose dataset doesn't divide the batch size must still
+    compile exactly one train-step shape per canvas bucket."""
+    from fasterrcnn_tpu.config import TrainConfig
+    from fasterrcnn_tpu.data.synthetic import SyntheticDataset
+    from fasterrcnn_tpu.engine import Engine
+
+    engine = Engine(
+        tiny_config(),
+        TrainConfig(batch_size=2),
+        seed=0,
+        init_canvas=(CANVAS_H, CANVAS_W),
+    )
+    data = SyntheticDataset(num_samples=5, height=120, width=150, seed=0)
+    engine.train_epoch(data, batch_size=2, progress=False)
+    assert len(engine._train_steps) == 1  # one bucket touched
+    (step,) = engine._train_steps.values()
+    assert step._cache_size() == 1  # residue reused the full-size program
 
 
 def test_predict_contract(model_and_params):

@@ -49,6 +49,52 @@ def test_host_batch_padding_and_masks():
         np.testing.assert_allclose(hb.image_hw[i], [600, 800])
 
 
+def test_residue_batches_padded_to_full_size():
+    """10 samples at bs=4 -> two full batches + one residue padded to 4 with
+    zero-weight blanks (exactly one compiled shape per bucket)."""
+    samples = list(synthetic_samples(10, 600, 800, seed=4))
+    batches = list(batched(iter(samples), batch_size=4, max_gt=8))
+    assert [b.images.shape[0] for b in batches] == [4, 4, 4]
+    residue = batches[-1]
+    assert len(residue.samples) == 2
+    np.testing.assert_allclose(residue.sample_weight, [1, 1, 0, 0])
+    # Padding rows: blank image, canvas extent (not zero), no GT.
+    assert residue.images[2:].sum() == 0
+    np.testing.assert_allclose(residue.image_hw[2], [608.0, 800.0])
+    assert residue.gt_mask[2:].sum() == 0
+
+    natural = list(
+        batched(iter(samples), batch_size=4, max_gt=8, pad_residues=False)
+    )
+    assert [b.images.shape[0] for b in natural] == [4, 4, 2]
+
+    dropped = list(
+        batched(iter(samples), batch_size=4, max_gt=8, drop_remainder=True)
+    )
+    assert [b.images.shape[0] for b in dropped] == [4, 4]
+
+
+def test_prefetcher_close_stops_worker():
+    produced = []
+
+    def slow_gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    pf = Prefetcher(slow_gen(), depth=2)
+    assert next(pf) == 0
+    pf.close()
+    count_at_close = len(produced)
+    # Worker must have stopped near where it was (queue depth + 1 slack),
+    # not drained the whole generator.
+    assert count_at_close <= 8
+    import time
+
+    time.sleep(0.2)
+    assert len(produced) <= count_at_close + 1
+
+
 def test_gt_overflow_raises():
     samples = list(synthetic_samples(1, 600, 800, max_boxes=4, seed=3))
     with pytest.raises(ValueError):
