@@ -1,0 +1,200 @@
+"""Fused RoI crop + 2x2 max-pool as a Pallas TPU kernel.
+
+The TPU-native replacement for the reference's RoI feature extraction
+(tf.image.crop_and_resize + tf.nn.max_pool, tf2/FasterRCNN/models/
+detector.py:92-100; torchvision.ops.RoIPool is the exact-quantization
+sibling served by ops/roi.roi_pool_exact). Semantics are identical to
+ops/roi.roi_pool_features — the XLA einsum formulation is the oracle this
+kernel is tested against (tests/test_roi_pallas.py).
+
+Design: one grid step processes T RoIs of one image with the whole feature
+map resident in VMEM. Bilinear interpolation weights are built on the VPU
+from 2-D iota comparisons (one (T*14, H) y-weight sheet, one (T*14, W)
+x-weight sheet), the y-contraction runs as a single (T*14, H) x (H, W, C)
+MXU matmul, and the per-RoI x-contraction + fused 2x2 max-pool emit
+(7, 7, C) tiles directly — the (P, 14, W, C) intermediate that dominates
+the XLA path's HBM traffic never leaves VMEM.
+
+Mosaic constraints honored (probed on hardware): only 2-D x 3-D
+dot_general contracting the rhs leading dim computes correctly (the
+middle-dim variant miscompiles), strided slicing lowers to unsupported
+gathers (pooling uses leading-dim reshapes + transposes instead), scalars
+(RoI corners) live in SMEM because Mosaic rejects scalar VMEM loads, and
+SMEM blocks obey the same trailing-dims blocking rule as VMEM (each
+program sees its image's full (P, 4) RoI table).
+
+Measured on v5e-1 (B=32, P=300, 38x50x512 bf16, scan-loop slope timing):
+this kernel 84 ms/iter vs the XLA einsum path's 37 ms/iter, so
+ops/roi.roi_pool_features REMAINS THE PRODUCTION PATH and models/
+faster_rcnn.py does not call this kernel. Stage breakdown (same timing):
+weight sheets 1.7 ms, y-contraction matmul +16 ms, per-RoI transposes
++0.4 ms, per-RoI x-contraction matmuls +34 ms. Both paths are bounded by
+the op's tiny contraction dims (K = H 38 / W 50 against the 128-wide MXU
+caps utilization at 30/39%), which puts this algorithm's speed-of-light
+near 6 ms/iter — a future rewrite would need a tap-based VPU formulation,
+not better matmul tiling.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _roi_kernel(
+    rois_ref,  # (1, P, 4) SMEM: corners in *feature-grid* coords
+    fm_ref,  # (1, H, W, C) VMEM
+    out_ref,  # (1, T, out, out, C) VMEM
+    *,
+    chunk: int,
+    crop: int,
+    out_size: int,
+    precision,
+):
+    fm = fm_ref[0]  # (H, W, C)
+    h, w, c = fm.shape
+    dtype = fm.dtype
+    t_s = chunk * crop
+    base = pl.program_id(1) * chunk  # first RoI of this chunk
+
+    def weight_sheet(size: int, corner_lo: int, corner_hi: int):
+        """(T*crop, size) bilinear weights for all RoIs in the chunk.
+
+        Row r = t*crop + s holds the interpolation weights of sample s of
+        RoI t along this axis; column j is the source cell. Matches
+        ops/roi._interp_weights: out-of-range samples contribute zero
+        (crop_and_resize extrapolation_value=0 semantics).
+        """
+        r_idx = jax.lax.broadcasted_iota(jnp.int32, (t_s, size), 0)
+        step = (r_idx % crop).astype(jnp.float32) / float(crop - 1)
+        pos = jnp.zeros((t_s, size), jnp.float32)
+        for t in range(chunk):
+            lo = rois_ref[0, base + t, corner_lo]
+            hi = rois_ref[0, base + t, corner_hi]
+            pos = jnp.where(r_idx // crop == t, lo + (hi - lo) * step, pos)
+        # Mosaic iota is integer-only; cast for the float cell comparison.
+        idx = jax.lax.broadcasted_iota(jnp.int32, (t_s, size), 1).astype(
+            jnp.float32
+        )
+        lo_cell = jnp.floor(pos)
+        frac = pos - lo_cell
+        sheet = jnp.where(idx == lo_cell, 1.0 - frac, 0.0) + jnp.where(
+            idx == lo_cell + 1.0, frac, 0.0
+        )
+        in_range = (pos >= 0.0) & (pos <= float(size - 1))
+        return (sheet * in_range).astype(dtype)
+
+    wy = weight_sheet(h, 0, 2)  # (T*crop, H)
+    wx = weight_sheet(w, 1, 3)  # (T*crop, W)
+
+    # y-contraction for the whole chunk: (T*crop, H) x (H, W, C). Mosaic
+    # requires a 32-bit matmul accumulator; the cast back to `dtype` bounds
+    # the block's resident footprint on the bf16 path.
+    rows = jax.lax.dot_general(
+        wy,
+        fm,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    ).astype(dtype)  # (T*crop, W, C)
+
+    half = out_size  # crop == 2 * out_size
+    for t in range(chunk):
+        rows_t = jnp.transpose(
+            rows[t * crop : (t + 1) * crop], (1, 0, 2)
+        )  # (W, crop, C)
+        crop_t = jax.lax.dot_general(
+            wx[t * crop : (t + 1) * crop],
+            rows_t,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        ).astype(dtype)  # (crop_q, crop_s, C): q = x sample, s = y sample
+        # Fused 2x2 max-pool via leading-dim reshapes (strided slices would
+        # lower to unsupported gathers).
+        a = jnp.max(crop_t.reshape(half, 2, crop, c), axis=1)  # (px, s, C)
+        a = jnp.transpose(a, (1, 0, 2))  # (s, px, C)
+        out_ref[0, t] = jnp.max(a.reshape(half, 2, half, c), axis=1)  # (py, px, C)
+
+
+def _pick_chunk(p: int, h: int, w: int, c: int, itemsize: int) -> int:
+    """Largest chunk whose VMEM footprint (fm + rows + per-RoI temps) fits."""
+    budget = 10 * 1024 * 1024
+    fm_bytes = h * w * c * itemsize
+    for t in (16, 12, 10, 8, 5, 4, 2, 1):
+        # f32 matmul accumulator + the dtype copy it is cast into.
+        rows_bytes = t * 14 * w * c * (4 + itemsize)
+        temps = 3 * 14 * w * c * 4  # transpose + crop accum + pool slack
+        if p % t == 0 and fm_bytes + rows_bytes + temps <= budget:
+            return t
+    return 1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("crop_size", "out_size", "interpret", "chunk")
+)
+def roi_pool_fused_pallas(
+    feature_map: jnp.ndarray,
+    rois: jnp.ndarray,
+    norm: jnp.ndarray,
+    crop_size: int = 14,
+    out_size: int = 7,
+    interpret: bool = False,
+    chunk: int = 0,
+) -> jnp.ndarray:
+    """Batched fused bilinear crop + 2x2 max-pool.
+
+    Args:
+      feature_map: (B, H, W, C) canvas feature maps.
+      rois: (B, P, 4) boxes (y1, x1, y2, x2) in image-pixel coordinates.
+      norm: (B, 2) per-image pixel->feature-grid factors
+        ((real_fm_h - 1) / img_h, (real_fm_w - 1) / img_w).
+      crop_size: bilinear sample grid side (2 * out_size).
+      out_size: pooled output side.
+
+    Returns:
+      (B, P, out_size, out_size, C) pooled features, feature_map dtype.
+    """
+    b, h, w, c = feature_map.shape
+    p = rois.shape[1]
+    assert crop_size == 2 * out_size, (crop_size, out_size)
+    if chunk <= 0:
+        chunk = _pick_chunk(p, h, w, c, feature_map.dtype.itemsize)
+    assert p % chunk == 0, (p, chunk)
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if feature_map.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    # Pre-scale corners to feature-grid coordinates so the kernel needs no
+    # per-image scalars beyond the RoI table itself.
+    scale = norm[:, (0, 1, 0, 1)]  # (B, 4) -> (sy, sx, sy, sx)
+    rois_fg = (rois.astype(jnp.float32) * scale[:, None, :]).astype(jnp.float32)
+    kernel = functools.partial(
+        _roi_kernel,
+        chunk=chunk,
+        crop=crop_size,
+        out_size=out_size,
+        precision=precision,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, p // chunk),
+        in_specs=[
+            pl.BlockSpec((1, p, 4), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, chunk, out_size, out_size, c),
+            lambda i, j: (i, j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, p, out_size, out_size, c), feature_map.dtype
+        ),
+        interpret=interpret,
+    )(rois_fg, feature_map)
