@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Sequence, Tuple
 
+import jax
 from flax import linen as nn
 import jax.numpy as jnp
 
@@ -141,6 +142,10 @@ class ResNetFeatureExtractor(nn.Module):
         )
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
         x = ResNetStage(self.blocks[0], 64, 1, self.dtype, name="layer1")(x)
+        # conv1/bn1/layer1 are frozen (reference requires_grad=False,
+        # resnet.py:48-51); cutting the gradient here lets XLA skip their
+        # backward pass entirely (the optimizer mask already zeroes updates).
+        x = jax.lax.stop_gradient(x)
         x = ResNetStage(self.blocks[1], 128, 2, self.dtype, name="layer2")(x)
         x = ResNetStage(self.blocks[2], 256, 2, self.dtype, name="layer3")(x)
         return x

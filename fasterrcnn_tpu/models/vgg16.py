@@ -16,6 +16,7 @@ for Caffe `vgg16_caffe.pth` / Bart-Keras h5 checkpoints (utils/checkpoint.py).
 
 from __future__ import annotations
 
+import jax
 from flax import linen as nn
 import jax.numpy as jnp
 
@@ -46,6 +47,13 @@ class VGG16FeatureExtractor(nn.Module):
                 x = nn.relu(x)
             if block_idx < 4:  # no pool after block 5
                 x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
+            if block_idx == 1:
+                # Blocks 1-2 are frozen (reference requires_grad=False,
+                # vgg16.py:49-58). The optimizer mask already zeroes their
+                # updates; cutting the gradient here additionally lets XLA
+                # skip their whole backward pass — these full-resolution
+                # layers are ~30% of the backbone's FLOPs.
+                x = jax.lax.stop_gradient(x)
         return x
 
 
