@@ -442,12 +442,15 @@ def make_predict_fn(model: FasterRCNN, canvas_h: int, canvas_w: int):
                 # Per-class NMS stays on the XLA blocked path: it is 640
                 # small problems (B*20 x K=300) that vectorize across the
                 # vmap, where per-problem Pallas kernels would serialize.
+                # block_size 64 measured ~25% faster than the default 256 at
+                # K=300 (less block padding), identical outputs.
                 res = nms_ops.nms(
                     decoded,
                     cls_scores,
                     keep,
                     iou_threshold=cfg.detector.test_nms_iou_threshold,
                     max_outputs=max_det,
+                    block_size=64,
                 )
                 return res.boxes, res.scores, res.valid
 
