@@ -124,6 +124,9 @@ def generate_proposals(
         iou_threshold=nms_iou_threshold,
         max_outputs=post_nms_top_k,
         use_pallas=use_pallas,
+        # top_k already emitted descending scores; skip nms()'s O(K log K)
+        # re-sort (the size filter only flips validity, not order).
+        presorted=True,
     )
     # NMS scores are logits; proposals are consumed as boxes + validity only,
     # but return sigmoid scores for parity with the reference's outputs.

@@ -54,7 +54,9 @@ def default_backend_uses_pallas() -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iou_threshold", "max_outputs", "block_size", "use_pallas"),
+    static_argnames=(
+        "iou_threshold", "max_outputs", "block_size", "use_pallas", "presorted"
+    ),
 )
 def nms(
     boxes: jnp.ndarray,
@@ -64,6 +66,7 @@ def nms(
     max_outputs: int,
     block_size: int = 256,
     use_pallas: bool = False,
+    presorted: bool = False,
 ) -> NMSResult:
     """Exact greedy NMS over K padded boxes; returns top max_outputs survivors.
 
@@ -76,6 +79,9 @@ def nms(
       max_outputs: number of survivors to emit (score-ordered, padded).
       use_pallas: run the suppression scan as the Pallas TPU kernel
         (ops/pallas/nms_pallas.py) instead of the blocked XLA program.
+      presorted: promise that valid entries already arrive in descending
+        score order (e.g. straight out of jax.lax.top_k), skipping an
+        O(K log K) sort; invalid entries may sit anywhere.
     """
     k = boxes.shape[0]
     block_size = min(block_size, k)
@@ -88,10 +94,15 @@ def nms(
     valid = valid.astype(bool)
     scores = jnp.where(valid, scores.astype(jnp.float32), NEG_INF)
 
-    order = jnp.argsort(-scores)  # stable descending sort
-    sboxes = boxes.astype(jnp.float32)[order]
-    sscores = scores[order]
-    svalid = valid[order]
+    if presorted:
+        sboxes = boxes.astype(jnp.float32)
+        sscores = scores
+        svalid = valid
+    else:
+        order = jnp.argsort(-scores)  # stable descending sort
+        sboxes = boxes.astype(jnp.float32)[order]
+        sscores = scores[order]
+        svalid = valid[order]
     if pad:
         sboxes = jnp.pad(sboxes, ((0, pad), (0, 0)))
         sscores = jnp.pad(sscores, ((0, pad),), constant_values=NEG_INF)

@@ -84,3 +84,23 @@ def test_nms_identical_boxes_keep_one():
     )
     assert np.asarray(res.valid).sum() == 1
     np.testing.assert_allclose(float(np.asarray(res.scores)[0]), 0.9, rtol=1e-6)
+
+
+def test_nms_presorted_matches_sorted_path():
+    """presorted=True on descending-score input (with invalid entries
+    interspersed, as after the RPN size filter) must match the sorting path.
+    (The Pallas branch shares this pre-kernel code path.)"""
+    rng = np.random.default_rng(7)
+    k = 256
+    boxes = random_boxes(rng, k)
+    scores = np.sort(rng.uniform(0.01, 1.0, k).astype(np.float32))[::-1].copy()
+    valid = (rng.uniform(size=k) > 0.2).astype(np.float32)
+    kw = dict(iou_threshold=0.5, max_outputs=64)
+    a = nms_ops.nms(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), **kw)
+    b = nms_ops.nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+        presorted=True, **kw,
+    )
+    np.testing.assert_allclose(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_allclose(np.asarray(a.boxes), np.asarray(b.boxes), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores), rtol=1e-6)
