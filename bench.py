@@ -26,7 +26,7 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
+
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -63,16 +63,6 @@ def vgg16_flops_per_image(h: int, w: int, rois: int, train: bool) -> float:
     return fwd + 2.0 * (fwd - frozen)
 
 
-def slope_time(run_and_fetch, iters_lo: int, iters_hi: int) -> float:
-    """Seconds per iteration via two-point slope (cancels fixed overhead)."""
-    run_and_fetch(iters_lo)  # warm (compile already done by caller)
-    t0 = time.perf_counter()
-    run_and_fetch(iters_lo)
-    t_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run_and_fetch(iters_hi)
-    t_hi = time.perf_counter() - t0
-    return (t_hi - t_lo) / (iters_hi - iters_lo)
 
 
 def main():
@@ -96,8 +86,9 @@ def main():
     canvas_h, canvas_w = 608, 800
     lo = int(os.environ.get("BENCH_ITERS_LO", "5"))
     hi = int(os.environ.get("BENCH_ITERS_HI", "20"))
+    backbone = os.environ.get("BENCH_BACKBONE", "vgg16")
 
-    cfg = ModelConfig(backbone="vgg16", compute_dtype="bfloat16")
+    cfg = ModelConfig(backbone=backbone, compute_dtype="bfloat16")
     model = FasterRCNN(cfg=cfg)
     params = init_params(model, canvas_h, canvas_w, seed=0)
     predict = make_predict_fn(model, canvas_h, canvas_w)
@@ -110,20 +101,26 @@ def main():
         jnp.asarray([[600.0, 800.0]], jnp.float32), (batch_size, 1)
     )
 
-    def infer_loop(n):
-        det = None
-        for _ in range(n):
-            det = predict(params, images, image_hw, score_threshold=0.05)
-        # Host fetch genuinely blocks until the whole in-order queue drains.
-        float(det.scores.sum())
+    from fasterrcnn_tpu.utils.timing import slope_ms
 
-    infer_loop(1)  # compile
-    sec_per_batch = slope_time(infer_loop, lo, hi)
-    images_per_sec = batch_size / sec_per_batch
+    last = {}
+
+    def infer_dispatch():
+        last["det"] = predict(params, images, image_hw, score_threshold=0.05)
+
+    def infer_fetch():
+        # Host fetch genuinely blocks until the whole in-order queue drains.
+        float(last["det"].scores.sum())
+
+    infer_dispatch()
+    infer_fetch()  # compile + warm
+    images_per_sec = batch_size / (slope_ms(infer_dispatch, infer_fetch, lo, hi) / 1e3)
+    # Analytic FLOP model covers the flagship VGG-16 only.
+    has_mfu = backbone == "vgg16"
     infer_flops = vgg16_flops_per_image(
         canvas_h, canvas_w, cfg.rpn.post_nms_infer, train=False
     )
-    infer_mfu = images_per_sec * infer_flops / PEAK_BF16_FLOPS
+    infer_mfu = images_per_sec * infer_flops / PEAK_BF16_FLOPS if has_mfu else None
 
     # ---- train step ----
     tx, _ = make_optimizer(cfg, TrainConfig(), params)
@@ -145,40 +142,43 @@ def main():
     )
     key = jax.random.key(0)
 
-    state = {"params": params, "opt": opt_state}
+    # Params/opt donation means state must be threaded through dispatches.
+    state = {"params": params, "opt": opt_state, "losses": None, "i": 0}
 
-    def train_loop(n):
-        p, o = state["params"], state["opt"]
-        losses = None
-        for i in range(n):
-            p, o, losses = step(p, o, batch, jax.random.fold_in(key, i))
-        state["params"], state["opt"] = p, o
-        float(losses.total)
+    def train_dispatch():
+        state["params"], state["opt"], state["losses"] = step(
+            state["params"], state["opt"], batch, jax.random.fold_in(key, state["i"])
+        )
+        state["i"] += 1
 
-    train_loop(1)  # compile
-    # NOTE: params/opt donation means state must be threaded, done above.
-    train_sec_per_batch = slope_time(train_loop, lo, hi)
-    train_images_per_sec = train_batch / train_sec_per_batch
+    def train_fetch():
+        float(state["losses"].total)
+
+    train_dispatch()
+    train_fetch()  # compile + warm
+    train_images_per_sec = train_batch / (
+        slope_ms(train_dispatch, train_fetch, lo, hi) / 1e3
+    )
     train_flops = vgg16_flops_per_image(
         canvas_h, canvas_w, cfg.detector.proposal_batch_size, train=True
     )
-    train_mfu = train_images_per_sec * train_flops / PEAK_BF16_FLOPS
-
-    print(
-        json.dumps(
-            {
-                "metric": "VGG16 FasterRCNN batched inference (608x800, bs=%d, bf16)"
-                % batch_size,
-                "value": round(images_per_sec, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
-                "inference_mfu": round(infer_mfu, 4),
-                "train_images_per_sec": round(train_images_per_sec, 2),
-                "train_mfu": round(train_mfu, 4),
-                "train_batch": train_batch,
-            }
-        )
+    train_mfu = (
+        train_images_per_sec * train_flops / PEAK_BF16_FLOPS if has_mfu else None
     )
+
+    record = {
+        "metric": "%s FasterRCNN batched inference (608x800, bs=%d, bf16)"
+        % (backbone.upper(), batch_size),
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
+        "train_images_per_sec": round(train_images_per_sec, 2),
+        "train_batch": train_batch,
+    }
+    if has_mfu:
+        record["inference_mfu"] = round(infer_mfu, 4)
+        record["train_mfu"] = round(train_mfu, 4)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

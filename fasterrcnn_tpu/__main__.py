@@ -271,8 +271,10 @@ def train(engine, options):
         if options.resume:
             restored = ckpt_mgr.restore_latest(engine.params)
             if restored is not None:
-                engine.params, last_epoch = restored
-                engine.opt_state = engine.tx.init(engine.params)
+                restored_params, last_epoch = restored
+                # set_params re-applies mesh shardings and restarts the
+                # optimizer (weights-only resume, reference README.md:231-256).
+                engine.set_params(restored_params)
                 start_epoch = last_epoch + 1
 
     profiling = False

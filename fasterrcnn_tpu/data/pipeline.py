@@ -144,6 +144,7 @@ class Prefetcher:
         self._queue: queue.Queue = queue.Queue(maxsize=depth)
         self._error: Optional[BaseException] = None
         self._stop = threading.Event()
+        self._closed = False
 
         def worker():
             try:
@@ -173,7 +174,8 @@ class Prefetcher:
         self._thread.start()
 
     def close(self, timeout: float = 5.0):
-        """Stop the worker and drop queued items."""
+        """Stop the worker and drop queued items (iteration ends after)."""
+        self._closed = True
         self._stop.set()
         while True:  # unblock a put stuck on a full queue
             try:
@@ -186,6 +188,10 @@ class Prefetcher:
         return self
 
     def __next__(self):
+        if self._closed:
+            # The drain in close() may have swallowed the _DONE sentinel;
+            # never block on a queue whose worker is gone.
+            raise StopIteration
         item = self._queue.get()
         if item is self._DONE:
             if self._error is not None:

@@ -125,25 +125,37 @@ class Engine:
         self.mesh = mesh
         self.params = init_params(self.model, *init_canvas, seed=seed)
         self.tx, self.labels = make_optimizer(model_cfg, train_cfg, self.params)
-        if mesh is not None:
-            from fasterrcnn_tpu.parallel import mesh as mesh_lib
-
-            self.params = jax.device_put(
-                self.params, mesh_lib.param_shardings(mesh, self.params)
-            )
-            # Place the optimizer state explicitly: its traces mirror the
-            # params tree, so the same sharding rules apply. Leaving placement
-            # to eager init yields equivalent-but-distinct (or uncommitted)
-            # shardings that recompile the train step at its second call.
-            self.opt_state = self.tx.init(self.params)
-            self.opt_state = jax.device_put(
-                self.opt_state, mesh_lib.param_shardings(mesh, self.opt_state)
-            )
-        else:
-            self.opt_state = self.tx.init(self.params)
+        self.set_params(self.params)
         self._train_steps: Dict[Tuple[int, int], callable] = {}
         self._predict_fns: Dict[Tuple[int, int], callable] = {}
         self._rng = jax.random.key(seed)
+
+    def set_params(self, params) -> None:
+        """Install new parameters: (re-)apply mesh placement, fresh optimizer.
+
+        Every path that replaces params (init, --load-from, --resume) must go
+        through here — a host-side tree would otherwise silently lose the
+        tp-split fc shardings and the explicit optimizer-state placement.
+        The optimizer restarts fresh by design (reference README.md:231-256:
+        restoring it clobbers a changed learning rate). Placement is explicit
+        because eager init yields equivalent-but-distinct (or uncommitted)
+        shardings that recompile the train step at its second call.
+        """
+        if self.mesh is not None:
+            from fasterrcnn_tpu.parallel import mesh as mesh_lib
+
+            params = jax.device_put(
+                params, mesh_lib.param_shardings(self.mesh, params)
+            )
+            self.params = params
+            self.opt_state = self.tx.init(params)
+            self.opt_state = jax.device_put(
+                self.opt_state,
+                mesh_lib.param_shardings(self.mesh, self.opt_state),
+            )
+        else:
+            self.params = params
+            self.opt_state = self.tx.init(params)
 
     def _shard_batch(self, batch: Batch) -> Batch:
         if self.mesh is None:
@@ -167,8 +179,7 @@ class Engine:
     # -- weights ----------------------------------------------------------
 
     def load_weights(self, filepath: str) -> None:
-        self.params = ckpt_lib.load(self.params, filepath)
-        self.opt_state = self.tx.init(self.params)  # fresh optimizer (by design)
+        self.set_params(ckpt_lib.load(self.params, filepath))
 
     def save_weights(self, filepath: str) -> None:
         ckpt_lib.save_weights(filepath, self.params)

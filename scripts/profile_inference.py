@@ -44,17 +44,12 @@ H, W = 608, 800
 LO, HI = 4, 16
 
 
+from fasterrcnn_tpu.utils.timing import slope_ms
+
+
 def slope(fn, fetch, lo=LO, hi=HI):
     fn(); fetch()  # compile + warm
-    def run(n):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            fn()
-        fetch()
-        return time.perf_counter() - t0
-    run(1)
-    t_lo, t_hi = run(lo), run(hi)
-    return (t_hi - t_lo) / (hi - lo) * 1e3
+    return slope_ms(fn, fetch, lo, hi)
 
 
 def main():

@@ -39,16 +39,12 @@ H, W = 608, 800
 LO, HI = 4, 12
 
 
+from fasterrcnn_tpu.utils.timing import slope_ms
+
+
 def slope(fn, fetch, lo=LO, hi=HI):
-    fn(); fetch()
-    def run(n):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            fn()
-        fetch()
-        return time.perf_counter() - t0
-    run(1)
-    return (run(hi) - run(lo)) / (hi - lo) * 1e3
+    fn(); fetch()  # compile + warm
+    return slope_ms(fn, fetch, lo, hi)
 
 
 def main():

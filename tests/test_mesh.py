@@ -102,3 +102,34 @@ def test_adam_trains_on_mesh():
     data = SyntheticDataset(num_samples=8, height=120, width=150, seed=0)
     stats = engine.train_epoch(data, batch_size=8, progress=False)
     assert np.isfinite(sum(stats.means().values()))
+
+
+def test_load_weights_preserves_mesh_sharding(tmp_path):
+    """load_weights / set_params must re-apply mesh placement — a host-side
+    tree would silently lose the tp-split and replicate the 103M-param fc1."""
+    from fasterrcnn_tpu.config import TrainConfig
+    from fasterrcnn_tpu.engine import Engine
+    from tests.test_model import tiny_config, CANVAS_H, CANVAS_W
+
+    engine = Engine(
+        tiny_config(),
+        TrainConfig(batch_size=8),
+        seed=0,
+        init_canvas=(CANVAS_H, CANVAS_W),
+        mesh=mesh_lib.make_mesh(8, tp=2),
+    )
+    path = str(tmp_path / "w.msgpack")
+    engine.save_weights(path)
+    engine.load_weights(path)
+    fc1 = engine.params["roi_head"]["fc1"]["kernel"]
+    assert fc1.sharding.spec == jax.sharding.PartitionSpec(None, "tp")
+    assert len(fc1.sharding.device_set) == 8
+    # Optimizer state placement is explicit too (momentum trace of fc1).
+    leaves = jax.tree_util.tree_leaves_with_path(engine.opt_state)
+    fc1_traces = [
+        x for p, x in leaves
+        if "fc1" in jax.tree_util.keystr(p) and "kernel" in jax.tree_util.keystr(p)
+    ]
+    assert fc1_traces and all(
+        t.sharding.spec == jax.sharding.PartitionSpec(None, "tp") for t in fc1_traces
+    )
