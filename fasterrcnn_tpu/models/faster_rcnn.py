@@ -114,11 +114,17 @@ class FasterRCNN(nn.Module):
         roi_boxes: jnp.ndarray,
         image_hw: jnp.ndarray,
         deterministic: bool = True,
+        use_pallas_roi: bool = False,
     ):
         """RoI pooling + head over a padded (B, S, 4) box set.
 
         All images' RoIs are flattened into one (B*S, ...) stack so the head
         runs as a single large matmul chain (MXU-friendly).
+
+        use_pallas_roi: route the crop+pool through the tap-based Pallas
+        kernel (2.1x the einsum path on hardware; see ops/pallas/
+        roi_pallas.py). Inference-only — the kernel defines no VJP, so the
+        train path keeps the differentiable einsum formulation.
         """
         if self.cfg.roi_mode == "exact_pool":
             spec = get_backbone(self.cfg.backbone)
@@ -126,6 +132,24 @@ class FasterRCNN(nn.Module):
             pooled = jax.vmap(
                 lambda f, b: roi_ops.roi_pool_exact(f, b, scale, 7)
             )(fm, roi_boxes)
+        elif use_pallas_roi and fm.shape[-1] % 128 == 0:
+            from fasterrcnn_tpu.ops.pallas import roi_pallas
+
+            spec = get_backbone(self.cfg.backbone)
+            fh, fw = anchor_ops.real_feature_map_size(
+                image_hw[:, 0].astype(jnp.int32),
+                image_hw[:, 1].astype(jnp.int32),
+                spec.feature_pixels,
+                spec.fm_ceil_mode,
+            )
+            norm = jnp.stack(
+                [
+                    (fh.astype(jnp.float32) - 1.0) / image_hw[:, 0],
+                    (fw.astype(jnp.float32) - 1.0) / image_hw[:, 1],
+                ],
+                axis=1,
+            )
+            pooled = roi_pallas.roi_pool_taps_pallas(fm, roi_boxes, norm)
         else:
             # Chunk the bilinear crop over RoIs to bound the (chunk,14,W,C)
             # intermediate (peak-memory hot spot at large batch).
@@ -184,7 +208,12 @@ class FasterRCNN(nn.Module):
                 use_pallas=nms_ops.default_backend_uses_pallas(),
             )
         )(logits, deltas, image_hw)
-        class_logits, box_deltas = self.detect_rois(fm, prop.boxes, image_hw)
+        class_logits, box_deltas = self.detect_rois(
+            fm,
+            prop.boxes,
+            image_hw,
+            use_pallas_roi=nms_ops.default_backend_uses_pallas(),
+        )
         return prop.boxes, prop.valid, class_logits, box_deltas
 
 
@@ -421,6 +450,7 @@ def make_predict_fn(model: FasterRCNN, canvas_h: int, canvas_w: int):
             props.boxes,
             image_hw,
             method=FasterRCNN.detect_rois,
+            use_pallas_roi=nms_ops.default_backend_uses_pallas(),
         )
         class_probs = jax.nn.softmax(class_logits, axis=-1)  # (B, S, C)
 

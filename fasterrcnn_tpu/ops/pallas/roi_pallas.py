@@ -134,6 +134,160 @@ def _pick_chunk(p: int, h: int, w: int, c: int, itemsize: int) -> int:
     return 1
 
 
+def _roi_taps_kernel(
+    rois_ref,  # (1, P, 4) SMEM: corners in *feature-grid* coords
+    fm_ref,  # (1, H, W*C) VMEM (2-D flattened feature map)
+    out_ref,  # (1, T, out, out, C) VMEM — in (px, py) order; wrapper swaps
+    rows_ref,  # VMEM scratch (T*crop, W*C)
+    *,
+    chunk: int,
+    crop: int,
+    out_size: int,
+    w: int,
+    c: int,
+    precision,
+):
+    """Tap-based variant: y-contraction as ONE plain 2-D matmul into VMEM
+    scratch, then bilinear-x as two 128-aligned dynamic lane slices per
+    output column (a bilinear kernel has only 2 taps — the dense W-matmul
+    of the einsum formulation wastes 25x FLOPs at 4% MXU utilization)."""
+    fm = fm_ref[0]  # (H, W*C)
+    h = fm.shape[0]
+    dtype = fm.dtype
+    t_s = chunk * crop
+    base = pl.program_id(1) * chunk
+
+    # WY (T*crop, H) weight sheet (same construction as the matmul kernel).
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (t_s, h), 0)
+    step = (r_idx % crop).astype(jnp.float32) / float(crop - 1)
+    pos = jnp.zeros((t_s, h), jnp.float32)
+    for t in range(chunk):
+        lo = rois_ref[0, base + t, 0]
+        hi = rois_ref[0, base + t, 2]
+        pos = jnp.where(r_idx // crop == t, lo + (hi - lo) * step, pos)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (t_s, h), 1).astype(jnp.float32)
+    lo_cell = jnp.floor(pos)
+    frac = pos - lo_cell
+    wy = jnp.where(idx == lo_cell, 1.0 - frac, 0.0) + jnp.where(
+        idx == lo_cell + 1.0, frac, 0.0
+    )
+    wy = (wy * ((pos >= 0.0) & (pos <= float(h - 1)))).astype(dtype)
+
+    rows_ref[...] = jax.lax.dot_general(
+        wy,
+        fm,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    ).astype(dtype)  # (T*crop, W*C)
+
+    for t in range(chunk):
+        x1 = rois_ref[0, base + t, 1]
+        x2 = rois_ref[0, base + t, 3]
+        cols = []
+        for q in range(crop):
+            xs = x1 + (x2 - x1) * (q / (crop - 1))
+            in_r = ((xs >= 0.0) & (xs <= float(w - 1))).astype(jnp.float32)
+            # Clamp so the hi tap stays in bounds; xs == w-1 lands as
+            # (lo = w-2, frac = 1) which reads column w-1 with weight 1.
+            xlo_f = jnp.clip(jnp.floor(xs), 0.0, float(w - 2))
+            f = xs - xlo_f
+            xlo = xlo_f.astype(jnp.int32)
+            seg_lo = rows_ref[pl.ds(t * crop, crop), pl.ds(xlo * c, c)]
+            seg_hi = rows_ref[pl.ds(t * crop, crop), pl.ds((xlo + 1) * c, c)]
+            col = (
+                seg_lo * ((1.0 - f) * in_r).astype(dtype)
+                + seg_hi * (f * in_r).astype(dtype)
+            )  # (crop_s, C)
+            # y-pool: max over adjacent sample pairs (static slices).
+            cols.append(
+                jnp.concatenate(
+                    [
+                        jnp.max(col[2 * i : 2 * i + 2], axis=0, keepdims=True)
+                        for i in range(out_size)
+                    ],
+                    axis=0,
+                )
+            )  # (out, C)
+        for px in range(out_size):
+            # out is (px, py, C); the wrapper swaps back to (py, px, C).
+            out_ref[0, t, px] = jnp.maximum(cols[2 * px], cols[2 * px + 1])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("crop_size", "out_size", "interpret", "chunk")
+)
+def roi_pool_taps_pallas(
+    feature_map: jnp.ndarray,
+    rois: jnp.ndarray,
+    norm: jnp.ndarray,
+    crop_size: int = 14,
+    out_size: int = 7,
+    interpret: bool = False,
+    chunk: int = 0,
+) -> jnp.ndarray:
+    """Tap-based fused bilinear crop + 2x2 max-pool (see _roi_taps_kernel).
+
+    Same contract as roi_pool_fused_pallas. Requires the channel count to be
+    a multiple of 128 (dynamic lane slices must be 128-aligned).
+    """
+    b, h, w, c = feature_map.shape
+    p = rois.shape[1]
+    assert crop_size == 2 * out_size, (crop_size, out_size)
+    assert c % 128 == 0, f"channels {c} must be a multiple of 128"
+    if chunk <= 0:
+        # Budget: fm block + rows scratch + the f32 matmul transient.
+        budget = 12 * 1024 * 1024
+        fm_bytes = h * w * c * feature_map.dtype.itemsize
+        per = crop_size * w * c * (feature_map.dtype.itemsize + 4)
+        chunk = next(
+            (
+                t
+                for t in (8, 6, 5, 4, 3, 2, 1)
+                if p % t == 0 and fm_bytes + t * per <= budget
+            ),
+            1,
+        )
+    assert p % chunk == 0, (p, chunk)
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if feature_map.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    scale = norm[:, (0, 1, 0, 1)]
+    rois_fg = (rois.astype(jnp.float32) * scale[:, None, :]).astype(jnp.float32)
+    kernel = functools.partial(
+        _roi_taps_kernel,
+        chunk=chunk,
+        crop=crop_size,
+        out_size=out_size,
+        w=w,
+        c=c,
+        precision=precision,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, p // chunk),
+        in_specs=[
+            pl.BlockSpec((1, p, 4), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w * c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, chunk, out_size, out_size, c),
+            lambda i, j: (i, j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, p, out_size, out_size, c), feature_map.dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((chunk * crop_size, w * c), feature_map.dtype)
+        ],
+        interpret=interpret,
+    )(rois_fg, feature_map.reshape(b, h, w * c))
+    return jnp.swapaxes(out, 2, 3)  # kernel emits (px, py, C)
+
+
 @functools.partial(
     jax.jit, static_argnames=("crop_size", "out_size", "interpret", "chunk")
 )
