@@ -23,16 +23,21 @@ gathers (pooling uses leading-dim reshapes + transposes instead), scalars
 SMEM blocks obey the same trailing-dims blocking rule as VMEM (each
 program sees its image's full (P, 4) RoI table).
 
-Measured on v5e-1 (B=32, P=300, 38x50x512 bf16, scan-loop slope timing):
-this kernel 84 ms/iter vs the XLA einsum path's 37 ms/iter, so
-ops/roi.roi_pool_features REMAINS THE PRODUCTION PATH and models/
-faster_rcnn.py does not call this kernel. Stage breakdown (same timing):
-weight sheets 1.7 ms, y-contraction matmul +16 ms, per-RoI transposes
-+0.4 ms, per-RoI x-contraction matmuls +34 ms. Both paths are bounded by
-the op's tiny contraction dims (K = H 38 / W 50 against the 128-wide MXU
-caps utilization at 30/39%), which puts this algorithm's speed-of-light
-near 6 ms/iter — a future rewrite would need a tap-based VPU formulation,
-not better matmul tiling.
+Two kernels live here:
+
+  * roi_pool_taps_pallas — THE INFERENCE PRODUCTION PATH (wired into
+    models/faster_rcnn.py's predict graphs on TPU): y-contraction as one
+    plain 2-D MXU matmul into VMEM scratch, bilinear-x as its literal two
+    taps via 128-aligned dynamic lane slices, fused 2x2 pool. Measured
+    15.3 ms vs the XLA einsum path's 32.2 ms at B=32/P=300/38x50x512 bf16.
+    Training keeps the differentiable einsum formulation (no VJP here).
+  * roi_pool_fused_pallas — the earlier all-matmul formulation, kept as a
+    reference point: 84 ms at the same shapes. Its stage breakdown (weight
+    sheets 1.7 ms, y-matmul +16 ms, transposes +0.4 ms, per-RoI
+    x-contraction matmuls +34 ms) shows why: a dense W-contraction per RoI
+    runs the MXU at (14/128)x(50/128) ~= 4% utilization — which is exactly
+    what the tap formulation sidesteps by never materializing the dense
+    x-weight matrix.
 """
 
 from __future__ import annotations

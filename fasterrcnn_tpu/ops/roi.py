@@ -12,9 +12,11 @@ Replaces the reference's library kernels:
     XLA formulation), provided for parity with checkpoints trained under
     the PyTorch tree. A NumPy oracle lives in tests.
 
-A Pallas fused crop+pool kernel exists in ops/pallas/roi_pallas.py but the
-einsum path below measured ~2.3x faster on hardware (numbers in that
-file's docstring), so it is what the model calls.
+On TPU, inference routes RoI extraction through the tap-based Pallas kernel
+(ops/pallas/roi_pallas.roi_pool_taps_pallas, ~2.1x faster than the einsum
+path below; numbers in that file's docstring). The einsum path remains the
+oracle, the CPU/test path, and the TRAINING path — it is built from
+differentiable XLA ops while the kernel defines no VJP.
 
 Both paths take a *fixed* number of padded RoIs and return fixed-shape
 outputs; invalid RoIs produce garbage that callers mask out (they cost the
