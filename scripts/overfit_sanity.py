@@ -6,8 +6,10 @@ losses, gradients, and the eval protocol must drive train-set mAP to ~100%
 on the solid-rectangle synthetic set. A sign/assignment bug anywhere in the
 pipeline keeps mAP near zero even while losses decrease.
 
-Verified on TPU v5e-1: mAP = 100.0% after 150 epochs (~10 min incl.
-compiles). Run:  python scripts/overfit_sanity.py
+Verified on TPU v5e-1: mAP = 100.0% after 150 epochs for BOTH backbones
+(~10 min each incl. compiles). Run:
+  python scripts/overfit_sanity.py
+  OVERFIT_BACKBONE=resnet50 python scripts/overfit_sanity.py
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ def tiny_config() -> ModelConfig:
     """Small canvas + scaled anchors (mirrors tests/test_model.py)."""
     return ModelConfig(
         num_classes=21,
-        backbone="vgg16",
+        backbone=os.environ.get("OVERFIT_BACKBONE", "vgg16"),
         anchors=AnchorConfig(areas=(24.0 * 24, 48.0 * 48, 96.0 * 96)),
         rpn=RPNConfig(
             pre_nms_train=400,
