@@ -165,7 +165,6 @@ def main(argv=None):
             detector=DetectorConfig(
                 dropout=options.dropout,
                 proposal_batch_size=32,
-                max_detections_per_class=16,
             ),
             max_gt_boxes=8,
             roi_mode="exact_pool" if options.custom_roi_pool else "crop",

@@ -63,7 +63,12 @@ class DetectorConfig:
     delta_means: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
     delta_stds: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
     test_nms_iou_threshold: float = 0.3
-    max_detections_per_class: int = 100
+    # Per-class detection rows in the fixed-shape predict output. 0 (default)
+    # means "one row per proposal" (rpn.post_nms_infer), which keeps every
+    # per-class NMS survivor — the reference's semantics (its predict keeps
+    # all survivors, faster_rcnn.py:213-226). A positive value trades output
+    # size for possible truncation of crowded classes.
+    max_detections_per_class: int = 0
     regression_sigma: float = 1.0
     dropout: float = 0.0
 

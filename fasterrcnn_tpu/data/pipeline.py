@@ -183,6 +183,17 @@ class Prefetcher:
             except queue.Empty:
                 break
         self._thread.join(timeout=timeout)
+        if self._thread.is_alive():
+            import warnings
+
+            warnings.warn(
+                "Prefetcher worker did not stop within "
+                f"{timeout}s of close(); it is blocked inside the wrapped "
+                "iterator (slow decode/IO?) and will keep consuming the "
+                "source until its next yield",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     def __iter__(self):
         return self

@@ -37,6 +37,7 @@ from fasterrcnn_tpu.models import losses as loss_fns
 from fasterrcnn_tpu.ops import anchors as anchor_ops
 from fasterrcnn_tpu.ops import boxes as box_ops
 from fasterrcnn_tpu.ops import nms as nms_ops
+from fasterrcnn_tpu.ops import pallas as pallas_pkg
 from fasterrcnn_tpu.ops import roi as roi_ops
 from fasterrcnn_tpu.ops import sampling as sampling_ops
 
@@ -212,7 +213,7 @@ class FasterRCNN(nn.Module):
             fm,
             prop.boxes,
             image_hw,
-            use_pallas_roi=nms_ops.default_backend_uses_pallas(),
+            use_pallas_roi=pallas_pkg.use_roi_kernel(),
         )
         return prop.boxes, prop.valid, class_logits, box_deltas
 
@@ -418,7 +419,9 @@ def make_predict_fn(model: FasterRCNN, canvas_h: int, canvas_w: int):
     grid = anchor_grid_for(cfg, canvas_h, canvas_w)
     centers = jnp.asarray(grid.centers)
     num_fg = cfg.num_classes - 1
-    max_det = cfg.detector.max_detections_per_class
+    # 0 = uncapped: every per-class NMS survivor fits (reference keeps all
+    # survivors, faster_rcnn.py:213-226; survivors <= proposals by construction).
+    max_det = cfg.detector.max_detections_per_class or cfg.rpn.post_nms_infer
 
     @functools.partial(jax.jit, static_argnames=("score_threshold",))
     def predict(params, images, image_hw, score_threshold: float = 0.05):
@@ -450,7 +453,7 @@ def make_predict_fn(model: FasterRCNN, canvas_h: int, canvas_w: int):
             props.boxes,
             image_hw,
             method=FasterRCNN.detect_rois,
-            use_pallas_roi=nms_ops.default_backend_uses_pallas(),
+            use_pallas_roi=pallas_pkg.use_roi_kernel(),
         )
         class_probs = jax.nn.softmax(class_logits, axis=-1)  # (B, S, C)
 

@@ -47,9 +47,12 @@ class NMSResult(NamedTuple):
 
 
 def default_backend_uses_pallas() -> bool:
-    """Pallas fast path on real TPUs; XLA blocked path elsewhere (CPU tests,
-    interpreters)."""
-    return jax.default_backend() == "tpu"
+    """Pallas NMS fast path on real TPUs; XLA blocked path elsewhere (CPU
+    tests, interpreters). Delegates to the per-kernel-family predicate in
+    ops.pallas so NMS and RoI backends toggle independently."""
+    from fasterrcnn_tpu.ops import pallas as pallas_pkg
+
+    return pallas_pkg.use_nms_kernel()
 
 
 @functools.partial(

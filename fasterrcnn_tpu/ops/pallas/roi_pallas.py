@@ -126,15 +126,18 @@ def _roi_kernel(
         out_ref[0, t] = jnp.max(a.reshape(half, 2, half, c), axis=1)  # (py, px, C)
 
 
-def _pick_chunk(p: int, h: int, w: int, c: int, itemsize: int) -> int:
-    """Largest chunk whose VMEM footprint (fm + rows + per-RoI temps) fits."""
+def _pick_chunk(
+    p: int, h: int, w: int, c: int, itemsize: int, crop: int, out_size: int
+) -> int:
+    """Largest chunk whose VMEM footprint (fm + rows + temps + out) fits."""
     budget = 10 * 1024 * 1024
     fm_bytes = h * w * c * itemsize
     for t in (16, 12, 10, 8, 5, 4, 2, 1):
         # f32 matmul accumulator + the dtype copy it is cast into.
-        rows_bytes = t * 14 * w * c * (4 + itemsize)
-        temps = 3 * 14 * w * c * 4  # transpose + crop accum + pool slack
-        if p % t == 0 and fm_bytes + rows_bytes + temps <= budget:
+        rows_bytes = t * crop * w * c * (4 + itemsize)
+        temps = 3 * crop * w * c * 4  # transpose + crop accum + pool slack
+        out_bytes = t * out_size * out_size * c * itemsize
+        if p % t == 0 and fm_bytes + rows_bytes + temps + out_bytes <= budget:
             return t
     return 1
 
@@ -241,10 +244,12 @@ def roi_pool_taps_pallas(
     assert crop_size == 2 * out_size, (crop_size, out_size)
     assert c % 128 == 0, f"channels {c} must be a multiple of 128"
     if chunk <= 0:
-        # Budget: fm block + rows scratch + the f32 matmul transient.
+        # Budget: fm block + rows scratch + the f32 matmul transient + the
+        # output block this grid step writes.
         budget = 12 * 1024 * 1024
-        fm_bytes = h * w * c * feature_map.dtype.itemsize
-        per = crop_size * w * c * (feature_map.dtype.itemsize + 4)
+        itemsize = feature_map.dtype.itemsize
+        fm_bytes = h * w * c * itemsize
+        per = crop_size * w * c * (itemsize + 4) + out_size * out_size * c * itemsize
         chunk = next(
             (
                 t
@@ -322,7 +327,9 @@ def roi_pool_fused_pallas(
     p = rois.shape[1]
     assert crop_size == 2 * out_size, (crop_size, out_size)
     if chunk <= 0:
-        chunk = _pick_chunk(p, h, w, c, feature_map.dtype.itemsize)
+        chunk = _pick_chunk(
+            p, h, w, c, feature_map.dtype.itemsize, crop_size, out_size
+        )
     assert p % chunk == 0, (p, chunk)
     precision = (
         jax.lax.Precision.HIGHEST

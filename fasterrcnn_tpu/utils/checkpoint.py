@@ -329,6 +329,11 @@ def _sniff_format(filepath: str) -> str:
     """
     with open(filepath, "rb") as f:
         magic = f.read(8)
+    if len(magic) < 2:
+        raise ValueError(
+            f"'{filepath}' is not a recognized checkpoint: file is empty or "
+            f"truncated ({len(magic)} bytes)"
+        )
     if magic.startswith(b"\x89HDF"):
         return "h5"
     if magic.startswith(b"PK") or magic[:1] == b"\x80":
@@ -367,7 +372,15 @@ def load(params, filepath: str):
             )
     else:
         with open(filepath, "rb") as f:
-            loaded = flax.serialization.from_bytes(mutable, f.read())
+            data = f.read()
+        try:
+            loaded = flax.serialization.from_bytes(mutable, data)
+        except Exception as e:
+            raise ValueError(
+                f"'{filepath}' matched no known signature (HDF5, torch zip, "
+                f"pickle) and failed to parse as a flax msgpack weight file: "
+                f"{e}"
+            ) from e
     return jax.tree.map(lambda x: np.asarray(x), loaded)
 
 

@@ -39,16 +39,30 @@ class TrainingStatistics:
         self._sums = defaultdict(float)
         self._count = 0
 
+    LOSS_NAMES = (
+        "rpn_class",
+        "rpn_regression",
+        "detector_class",
+        "detector_regression",
+    )
+
     def on_training_step(self, losses) -> None:
         """`losses` is models.faster_rcnn.Losses (or any object with the four
-        loss attributes as scalars)."""
-        for name in (
-            "rpn_class",
-            "rpn_regression",
-            "detector_class",
-            "detector_regression",
-        ):
+        loss attributes as scalars).
+
+        NOTE: float() of a device scalar blocks on the transfer; in the hot
+        training loop prefer on_training_step_values with a batched fetch of
+        the *previous* step's losses (engine.train_epoch does this) — on this
+        backend a host fetch costs a ~33 ms round trip per call.
+        """
+        for name in self.LOSS_NAMES:
             self._sums[name] += float(getattr(losses, name))
+        self._count += 1
+
+    def on_training_step_values(self, values) -> None:
+        """Record one step from a length-4 host array in LOSS_NAMES order."""
+        for name, v in zip(self.LOSS_NAMES, values):
+            self._sums[name] += float(v)
         self._count += 1
 
     def means(self) -> Dict[str, float]:

@@ -45,7 +45,7 @@ def tiny_config() -> ModelConfig:
             post_nms_infer=64,
             minibatch_size=64,
         ),
-        detector=DetectorConfig(proposal_batch_size=32, max_detections_per_class=16),
+        detector=DetectorConfig(proposal_batch_size=32),
         max_gt_boxes=8,
     )
 

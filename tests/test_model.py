@@ -35,7 +35,7 @@ def tiny_config(backbone="vgg16"):
             post_nms_infer=64,
             minibatch_size=64,
         ),
-        detector=DetectorConfig(proposal_batch_size=32, max_detections_per_class=16),
+        detector=DetectorConfig(proposal_batch_size=32),
         max_gt_boxes=8,
     )
 
@@ -190,7 +190,10 @@ def test_predict_contract(model_and_params):
     batch = synthetic_batch(np.random.default_rng(2))
     det = predict(params, batch.images, batch.image_hw, score_threshold=0.05)
     b = batch.images.shape[0]
-    d = model.cfg.detector.max_detections_per_class
+    d = (
+        model.cfg.detector.max_detections_per_class
+        or model.cfg.rpn.post_nms_infer
+    )
     assert det.boxes.shape == (b, 20, d, 4)
     assert det.scores.shape == (b, 20, d)
     assert det.valid.shape == (b, 20, d)

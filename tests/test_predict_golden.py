@@ -60,17 +60,11 @@ def reference_predict_numpy(proposals, valid, class_logits, box_deltas,
 
 
 def test_predict_pipeline_matches_reference_port():
-    import dataclasses
-
-    # The reference keeps every NMS survivor; lift our fixed-shape per-class
-    # cap to the proposal count so truncation can't hide a mismatch.
-    base = tiny_config()
-    cfg = dataclasses.replace(
-        base,
-        detector=dataclasses.replace(
-            base.detector, max_detections_per_class=base.rpn.post_nms_infer
-        ),
-    )
+    # The SHIPPED default config is uncapped (max_detections_per_class=0 ->
+    # one output row per proposal), so this parity test covers exactly the
+    # configuration users run: no truncation can hide a mismatch.
+    cfg = tiny_config()
+    assert cfg.detector.max_detections_per_class == 0
     model = FasterRCNN(cfg=cfg)
     params = init_params(model, CANVAS_H, CANVAS_W, seed=0)
     batch = synthetic_batch(np.random.default_rng(5), b=2)
