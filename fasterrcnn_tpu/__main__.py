@@ -95,6 +95,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--tiny", action="store_true",
                         help="Smoke-test mode: small synthetic images and "
                              "reduced proposal caps (fast compile; CI use)")
+    parser.add_argument("--memory-stats", action="store_true",
+                        help="Print per-device live/peak memory after the "
+                             "first epoch plus XLA's memory analysis of the "
+                             "compiled train step (analog of the reference's "
+                             "CUDA memory profiler, its __main__.py:288)")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="Enable jax_debug_nans for the whole training "
+                             "run: raise at the first NaN-producing op "
+                             "inside jit (slower; debug runs only)")
     parser.add_argument("--profile-dir", metavar="dir",
                         help="Capture a jax.profiler trace of training steps "
                              "into this directory (view with xprof/tensorboard)")
@@ -283,9 +292,43 @@ def train(engine, options):
         jax.profiler.start_trace(options.profile_dir)
         profiling = True
 
-    for epoch in range(start_epoch, 1 + options.epochs):
+    import contextlib
+
+    from fasterrcnn_tpu.utils import profiling as prof_lib
+
+    guard = prof_lib.nan_guard() if options.debug_nans else contextlib.nullcontext()
+    guard.__enter__()
+    try:
+      for epoch in range(start_epoch, 1 + options.epochs):
         print("Epoch %d/%d" % (epoch, options.epochs))
         stats = engine.train_epoch(train_data, options.batch_size)
+        if epoch == start_epoch and hasattr(train_data, "cache_nbytes"):
+            nb = train_data.cache_nbytes()
+            if nb:
+                print(
+                    "Image cache       : %.1f MiB (%d images, one unflipped "
+                    "array each; flips are views)"
+                    % (nb / 2**20, len(train_data._cache))
+                )
+        if epoch == start_epoch and options.memory_stats:
+            for dev, ms in prof_lib.device_memory_summary().items():
+                print(
+                    "Device memory     : %s in_use=%.1f MiB peak=%.1f MiB "
+                    "limit=%.1f MiB"
+                    % (dev, ms["bytes_in_use_mb"], ms["peak_bytes_in_use_mb"],
+                       ms["bytes_limit_mb"])
+                )
+            for canvas in list(engine._train_steps):
+                mem = engine.train_step_memory_analysis(
+                    canvas, options.batch_size
+                )
+                if mem:
+                    print(
+                        "Train step memory : canvas=%s temp=%.1f MiB "
+                        "args=%.1f MiB out=%.1f MiB code=%.1f MiB"
+                        % (canvas, mem["temp_mb"], mem["argument_mb"],
+                           mem["output_mb"], mem["generated_code_mb"])
+                    )
         if profiling:
             import jax
 
@@ -312,6 +355,8 @@ def train(engine, options):
             csv.log(log_items)
         if best:
             best.on_epoch_end(engine.params, epoch, mean_ap)
+    finally:
+        guard.__exit__(None, None, None)
     if ckpt_mgr is not None:
         ckpt_mgr.close()
     if options.save_to:
@@ -336,12 +381,13 @@ def predict_one(engine, url, show_image, output_path):
     from fasterrcnn_tpu.data.voc import Sample, CLASS_INDEX_TO_NAME
     from fasterrcnn_tpu.utils import visualize
 
-    image_u8, pil_image, _, _ = image_lib.load_image(url, min_dimension_pixels=600)
+    image_u8, pil_image, _, _ = image_lib.load_image(
+        url, min_dimension_pixels=600, max_dimension_pixels=1600
+    )
     sample = Sample(
         image_u8=image_u8,
         image_hw=(image_u8.shape[0], image_u8.shape[1]),
         gt_boxes=[],
-        image=pil_image,
         filepath=url,
     )
     scored = engine.predict_image(sample, score_threshold=0.7)

@@ -55,14 +55,26 @@ TORCHVISION_RGB = PreprocessingParams(
 
 
 def compute_scale_factor(
-    original_width: int, original_height: int, min_dimension_pixels: Optional[int]
+    original_width: int,
+    original_height: int,
+    min_dimension_pixels: Optional[int],
+    max_dimension_pixels: Optional[int] = None,
 ) -> float:
-    """Scale so the shorter side equals min_dimension_pixels (image.py:34-41)."""
+    """Scale so the shorter side equals min_dimension_pixels (image.py:34-41).
+
+    max_dimension_pixels caps the LONGER side: an extreme-aspect image
+    (>1600/600 ~= 2.66:1 at the defaults) scales down further so it still
+    fits the largest canvas bucket instead of killing the run mid-epoch —
+    ground truth scales with the same factor, so geometry stays consistent.
+    """
     if not min_dimension_pixels:
         return 1.0
-    if original_width > original_height:
-        return min_dimension_pixels / original_height
-    return min_dimension_pixels / original_width
+    short = min(original_width, original_height)
+    long_ = max(original_width, original_height)
+    scale = min_dimension_pixels / short
+    if max_dimension_pixels and long_ * scale > max_dimension_pixels:
+        scale = max_dimension_pixels / long_
+    return scale
 
 
 # Largest aspect ratio the native scratch canvas covers at min-side 600.
@@ -74,6 +86,7 @@ def load_image(
     min_dimension_pixels: Optional[int] = 600,
     horizontal_flip: bool = False,
     use_native: bool = True,
+    max_dimension_pixels: Optional[int] = None,
 ):
     """Load and resize an image; no normalization (that runs on device).
 
@@ -92,7 +105,9 @@ def load_image(
         and os.path.isfile(url)
         and url.lower().endswith((".jpg", ".jpeg"))
     ):
-        result = _load_image_native(url, min_dimension_pixels, horizontal_flip)
+        result = _load_image_native(
+            url, min_dimension_pixels, horizontal_flip, max_dimension_pixels
+        )
         if result is not None:
             return result
     image = Image.open(url).convert("RGB")
@@ -104,6 +119,7 @@ def load_image(
             original_width=image.width,
             original_height=image.height,
             min_dimension_pixels=min_dimension_pixels,
+            max_dimension_pixels=max_dimension_pixels,
         )
         width = int(image.width * scale_factor)
         height = int(image.height * scale_factor)
@@ -114,7 +130,7 @@ def load_image(
     return image_u8, image, scale_factor, (3, original_height, original_width)
 
 
-def _load_image_native(url: str, min_dim: int, flip: bool):
+def _load_image_native(url: str, min_dim: int, flip: bool, max_dim=None):
     """JPEG decode+resize via the C++ loader; None -> caller falls back."""
     from fasterrcnn_tpu.data import native_loader
 
@@ -127,11 +143,11 @@ def _load_image_native(url: str, min_dim: int, flip: bool):
             (_NATIVE_SCRATCH_SIDE, _NATIVE_SCRATCH_SIDE, 3), np.uint8
         )
         rh, rw, oh, ow = native_loader.decode_resize_into(
-            jpeg, scratch, min_dim, flip
+            jpeg, scratch, min_dim, flip, max_side=max_dim or 0
         )
     except Exception:
         return None
     image_u8 = np.ascontiguousarray(scratch[:rh, :rw])
-    scale_factor = compute_scale_factor(ow, oh, min_dim)
+    scale_factor = compute_scale_factor(ow, oh, min_dim, max_dim)
     pil_image = Image.fromarray(image_u8)
     return image_u8, pil_image, scale_factor, (3, oh, ow)

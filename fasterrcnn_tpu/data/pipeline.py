@@ -49,6 +49,67 @@ def pad_sample_into(batch_images, i, sample: Sample):
     batch_images[i, :h, :w, :] = sample.image_u8
 
 
+def _decode_deferred_into(images: np.ndarray, samples: List[Sample], idx):
+    """Decode deferred samples straight into the padded batch canvas.
+
+    One threaded native-loader call per batch (GIL released for its whole
+    duration); the per-sample scratch canvas + copy of the eager path never
+    happens. Samples with a cache_sink are decoded unflipped (the dataset
+    caches one variant per file) and flipped in place afterwards.
+    """
+    from fasterrcnn_tpu.data import image as image_lib
+    from fasterrcnn_tpu.data import native_loader
+
+    spec = samples[idx[0]].deferred
+    if native_loader.available():
+        jpegs = []
+        flips = []
+        for i in idx:
+            with open(samples[i].filepath, "rb") as f:
+                jpegs.append(f.read())
+            flips.append(
+                samples[i].flip and samples[i].deferred.cache_sink is None
+            )
+        real_hw, _ = native_loader.decode_batch_into(
+            jpegs,
+            images,
+            dest_indices=idx,
+            min_side=spec.min_side,
+            max_side=spec.max_side,
+            flips=flips,
+        )
+        decoded_hw = [(int(real_hw[k, 0]), int(real_hw[k, 1])) for k in range(len(idx))]
+    else:
+        decoded_hw = []
+        for i in idx:
+            s = samples[i]
+            arr, _, _, _ = image_lib.load_image(
+                s.filepath,
+                min_dimension_pixels=spec.min_side,
+                max_dimension_pixels=spec.max_side,
+                horizontal_flip=s.flip and s.deferred.cache_sink is None,
+            )
+            images[i, : arr.shape[0], : arr.shape[1]] = arr
+            decoded_hw.append((arr.shape[0], arr.shape[1]))
+
+    for k, i in enumerate(idx):
+        s = samples[i]
+        rh, rw = decoded_hw[k]
+        if (rh, rw) != tuple(s.image_hw):
+            raise ValueError(
+                f"{s.filepath}: decoded to {(rh, rw)} but the annotation's "
+                f"<size> element predicted {tuple(s.image_hw)}"
+            )
+        sink = s.deferred.cache_sink
+        if sink is not None:
+            unflipped = images[i, :rh, :rw].copy()
+            sink(unflipped)
+            if s.flip:
+                images[i, :rh, :rw] = unflipped[:, ::-1]
+        s.image_u8 = images[i, :rh, :rw]
+        s.deferred = None
+
+
 def make_host_batch(
     samples: List[Sample],
     canvas_hw: Tuple[int, int],
@@ -74,8 +135,10 @@ def make_host_batch(
     gt_classes = np.zeros((b, max_gt), np.int32)
     gt_mask = np.zeros((b, max_gt), np.float32)
     sample_weight = np.zeros((b,), np.float32)
+    deferred_idx = [i for i, s in enumerate(samples) if s.image_u8 is None]
     for i, s in enumerate(samples):
-        pad_sample_into(images, i, s)
+        if s.image_u8 is not None:
+            pad_sample_into(images, i, s)
         image_hw[i] = s.image_hw
         sample_weight[i] = 1.0
         n = min(len(s.gt_boxes), max_gt)
@@ -87,6 +150,8 @@ def make_host_batch(
             gt_boxes[i, j] = s.gt_boxes[j].corners
             gt_classes[i, j] = s.gt_boxes[j].class_index
             gt_mask[i, j] = 1.0
+    if deferred_idx:
+        _decode_deferred_into(images, samples, deferred_idx)
     return HostBatch(
         canvas_hw,
         images,

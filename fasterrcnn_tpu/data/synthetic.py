@@ -49,7 +49,6 @@ def synthetic_samples(
             image_u8=image,
             image_hw=(height, width),
             gt_boxes=boxes,
-            image=None,
             filepath=f"synthetic://{idx}",
         )
 

@@ -198,6 +198,31 @@ class Engine:
             self._predict_fns[canvas_hw] = make_predict_fn(self.model, *canvas_hw)
         return self._predict_fns[canvas_hw]
 
+    def train_step_memory_analysis(self, canvas_hw, batch_size: int) -> dict:
+        """XLA memory analysis of the train step at this shape (--memory-stats).
+
+        AOT lower+compile with abstract batch avals; on backends with a
+        compilation cache the already-jitted identical program makes this
+        cheap."""
+        from fasterrcnn_tpu.utils import profiling as prof_lib
+
+        step = self.train_step_for(canvas_hw)
+        g = self.model_cfg.max_gt_boxes
+        ch, cw = canvas_hw
+        sds = jax.ShapeDtypeStruct
+        batch = Batch(
+            images=sds((batch_size, ch, cw, 3), jnp.uint8),
+            image_hw=sds((batch_size, 2), jnp.float32),
+            gt_boxes=sds((batch_size, g, 4), jnp.float32),
+            gt_classes=sds((batch_size, g), jnp.int32),
+            gt_mask=sds((batch_size, g), jnp.float32),
+            sample_weight=sds((batch_size,), jnp.float32),
+        )
+        lowered = step.lower(
+            self.params, self.opt_state, batch, jax.random.key(0)
+        )
+        return prof_lib.compiled_memory_analysis(lowered.compile())
+
     # -- loops --------------------------------------------------------------
 
     def next_rng(self):

@@ -103,11 +103,14 @@ void resize_bilinear(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
   }
 }
 
-// One sample: decode, resize so min side == min_side, flip, write top-left
-// into the (canvas_h, canvas_w, 3) uint8 canvas. Returns 0 on success.
-int decode_one(const uint8_t* jpeg, size_t len, int min_side, int flip,
-               uint8_t* canvas, int canvas_h, int canvas_w, int canvas_stride,
-               int* real_h, int* real_w, int* orig_h, int* orig_w) {
+// One sample: decode, resize so min side == min_side (long side capped at
+// max_side when > 0 — extreme aspect ratios would otherwise outgrow every
+// canvas bucket), flip, write top-left into the (canvas_h, canvas_w, 3)
+// uint8 canvas. Returns 0 on success.
+int decode_one(const uint8_t* jpeg, size_t len, int min_side, int max_side,
+               int flip, uint8_t* canvas, int canvas_h, int canvas_w,
+               int canvas_stride, int* real_h, int* real_w, int* orig_h,
+               int* orig_w) {
   std::vector<uint8_t> rgb;
   int sw = 0, sh = 0;
   if (!decode_jpeg(jpeg, len, &rgb, &sw, &sh)) return 1;
@@ -116,6 +119,11 @@ int decode_one(const uint8_t* jpeg, size_t len, int min_side, int flip,
   double scale = 1.0;
   if (min_side > 0) {
     scale = (sw > sh) ? double(min_side) / sh : double(min_side) / sw;
+    if (max_side > 0) {
+      const double long_scale =
+          double(max_side) / ((sw > sh) ? double(sw) : double(sh));
+      if (long_scale < scale) scale = long_scale;
+    }
   }
   const int dw = int(sw * scale);
   const int dh = int(sh * scale);
@@ -132,20 +140,23 @@ int decode_one(const uint8_t* jpeg, size_t len, int min_side, int flip,
 extern "C" {
 
 int frcnn_decode_resize_into(const uint8_t* jpeg, size_t len, int min_side,
-                             int flip, uint8_t* canvas, int canvas_h,
-                             int canvas_w, int* real_h, int* real_w,
-                             int* orig_h, int* orig_w) {
-  return decode_one(jpeg, len, min_side, flip, canvas, canvas_h, canvas_w,
-                    canvas_w * 3, real_h, real_w, orig_h, orig_w);
+                             int max_side, int flip, uint8_t* canvas,
+                             int canvas_h, int canvas_w, int* real_h,
+                             int* real_w, int* orig_h, int* orig_w) {
+  return decode_one(jpeg, len, min_side, max_side, flip, canvas, canvas_h,
+                    canvas_w, canvas_w * 3, real_h, real_w, orig_h, orig_w);
 }
 
-// Batch: jpegs given as one concatenated buffer + offsets/lengths. Each image
-// i is written into batch_canvas[i] of shape (canvas_h, canvas_w, 3).
-// results[i]: 0 ok, nonzero error. real_hw: (n, 2) int32; orig_hw: (n, 2).
+// Batch: jpegs given as one concatenated buffer + offsets/lengths. Image i is
+// written into batch_canvas[dest_idx ? dest_idx[i] : i] of shape
+// (canvas_h, canvas_w, 3) — dest_idx lets a caller fill only the undecoded
+// rows of a partially-cached batch. results[i]: 0 ok, nonzero error.
+// real_hw: (n, 2) int32; orig_hw: (n, 2).
 void frcnn_decode_batch(const uint8_t* blob, const int64_t* offsets,
                         const int64_t* lengths, int n, int min_side,
-                        const int32_t* flips, uint8_t* batch_canvas,
-                        int canvas_h, int canvas_w, int32_t* real_hw,
+                        int max_side, const int32_t* flips,
+                        uint8_t* batch_canvas, int canvas_h, int canvas_w,
+                        const int32_t* dest_idx, int32_t* real_hw,
                         int32_t* orig_hw, int32_t* results, int num_threads) {
   if (num_threads <= 0) num_threads = 1;
   std::vector<std::thread> workers;
@@ -155,10 +166,11 @@ void frcnn_decode_batch(const uint8_t* blob, const int64_t* offsets,
       const int i = next.fetch_add(1);
       if (i >= n) return;
       int rh = 0, rw = 0, oh = 0, ow = 0;
+      const int dest = dest_idx ? dest_idx[i] : i;
       uint8_t* canvas =
-          batch_canvas + size_t(i) * canvas_h * canvas_w * 3;
+          batch_canvas + size_t(dest) * canvas_h * canvas_w * 3;
       results[i] = decode_one(blob + offsets[i], size_t(lengths[i]), min_side,
-                              flips[i], canvas, canvas_h, canvas_w,
+                              max_side, flips[i], canvas, canvas_h, canvas_w,
                               canvas_w * 3, &rh, &rw, &oh, &ow);
       real_hw[i * 2] = rh;
       real_hw[i * 2 + 1] = rw;

@@ -102,6 +102,30 @@ def test_weight_roundtrip(tmp_path):
     np.testing.assert_array_equal(k1, k2)
 
 
+def test_cli_memory_stats_and_debug_nans(capsys):
+    """--memory-stats prints device + compiled-step memory; --debug-nans
+    completes a clean tiny run with jax_debug_nans armed (and restores the
+    flag afterwards)."""
+    import jax
+
+    main(
+        [
+            "--train",
+            "--synthetic", "4",
+            "--tiny",
+            "--epochs", "1",
+            "--batch-size", "4",
+            "--eval-batch-size", "4",
+            "--periodic-eval-samples", "2",
+            "--memory-stats",
+            "--debug-nans",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "Train step memory" in out and "temp=" in out
+    assert not jax.config.read("jax_debug_nans")
+
+
 def test_cli_train_on_mesh(tmp_path):
     """VERDICT round-1 item 2: multi-chip training reachable from the CLI."""
     save_to = tmp_path / "mesh.msgpack"
