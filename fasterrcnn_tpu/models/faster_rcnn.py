@@ -22,6 +22,7 @@ Capability parity with reference pytorch/FasterRCNN/models/faster_rcnn.py:27-561
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -124,8 +125,9 @@ class FasterRCNN(nn.Module):
 
         use_pallas_roi: route the crop+pool through the tap-based Pallas
         kernel (2.1x the einsum path on hardware; see ops/pallas/
-        roi_pallas.py). Inference-only — the kernel defines no VJP, so the
-        train path keeps the differentiable einsum formulation.
+        roi_pallas.py). Used by BOTH inference and training — the kernel
+        carries a custom VJP (Pallas backward kernel) wrt the feature map;
+        RoI boxes are stop-gradient constants either way.
         """
         if self.cfg.roi_mode == "exact_pool":
             spec = get_backbone(self.cfg.backbone)
@@ -345,6 +347,7 @@ def compute_losses(
         jax.lax.stop_gradient(samples.boxes),
         batch.image_hw,
         deterministic=cfg.detector.dropout == 0.0,
+        use_pallas_roi=pallas_pkg.use_roi_kernel(),
     )
 
     def per_image_losses(lg, dl, tgt_obj, tgt_dl, mb, cls_lg, box_dl, smp):

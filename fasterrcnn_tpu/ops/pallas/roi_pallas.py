@@ -25,12 +25,20 @@ program sees its image's full (P, 4) RoI table).
 
 Two kernels live here:
 
-  * roi_pool_taps_pallas — THE INFERENCE PRODUCTION PATH (wired into
-    models/faster_rcnn.py's predict graphs on TPU): y-contraction as one
-    plain 2-D MXU matmul into VMEM scratch, bilinear-x as its literal two
-    taps via 128-aligned dynamic lane slices, fused 2x2 pool. Measured
-    15.3 ms vs the XLA einsum path's 32.2 ms at B=32/P=300/38x50x512 bf16.
-    Training keeps the differentiable einsum formulation (no VJP here).
+  * roi_pool_taps_pallas — THE PRODUCTION PATH for inference AND training
+    (wired into models/faster_rcnn.py's predict and train graphs on TPU):
+    y-contraction as one plain 2-D MXU matmul into VMEM scratch, bilinear-x
+    as its literal two taps via 128-aligned dynamic lane slices, fused 2x2
+    pool. Measured 15.3 ms vs the XLA einsum path's 32.2 ms at
+    B=32/P=300/38x50x512 bf16. A custom VJP (_roi_taps_bwd_kernel) makes it
+    differentiable wrt the feature map: the backward kernel recomputes the
+    row stage, splits the output cotangent across the 2x2 max-pool argmax
+    window (equal split among ties, matching jnp reduce_max semantics),
+    scatters it through the two bilinear x-taps into a row-cotangent
+    scratch, and contracts back to the feature map with the transposed
+    y-weight sheet. RoIs/norm receive zero cotangent by definition —
+    proposals are training constants (reference detaches them,
+    pytorch/FasterRCNN/models/faster_rcnn.py:331-333).
   * roi_pool_fused_pallas — the earlier all-matmul formulation, kept as a
     reference point: 84 ms at the same shapes. Its stage breakdown (weight
     sheets 1.7 ms, y-matmul +16 ms, transposes +0.4 ms, per-RoI
@@ -222,50 +230,34 @@ def _roi_taps_kernel(
             out_ref[0, t, px] = jnp.maximum(cols[2 * px], cols[2 * px + 1])
 
 
-@functools.partial(
-    jax.jit, static_argnames=("crop_size", "out_size", "interpret", "chunk")
-)
-def roi_pool_taps_pallas(
+def _taps_precision(dtype):
+    # The MXU's *default* f32 matmul uses bf16 passes — too lossy for
+    # interpolation weights on the f32 parity path.
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+def _rois_to_feature_grid(rois, norm):
+    """(B, P, 4) pixel-space corners -> f32 feature-grid corners."""
+    scale = norm[:, (0, 1, 0, 1)]  # (B, 4) -> (sy, sx, sy, sx)
+    return (rois.astype(jnp.float32) * scale[:, None, :]).astype(jnp.float32)
+
+
+def _taps_fwd_impl(
     feature_map: jnp.ndarray,
     rois: jnp.ndarray,
     norm: jnp.ndarray,
-    crop_size: int = 14,
-    out_size: int = 7,
-    interpret: bool = False,
-    chunk: int = 0,
+    crop_size: int,
+    out_size: int,
+    interpret: bool,
+    chunk: int,
 ) -> jnp.ndarray:
-    """Tap-based fused bilinear crop + 2x2 max-pool (see _roi_taps_kernel).
-
-    Same contract as roi_pool_fused_pallas. Requires the channel count to be
-    a multiple of 128 (dynamic lane slices must be 128-aligned).
-    """
     b, h, w, c = feature_map.shape
     p = rois.shape[1]
-    assert crop_size == 2 * out_size, (crop_size, out_size)
-    assert c % 128 == 0, f"channels {c} must be a multiple of 128"
-    if chunk <= 0:
-        # Budget: fm block + rows scratch + the f32 matmul transient + the
-        # output block this grid step writes.
-        budget = 12 * 1024 * 1024
-        itemsize = feature_map.dtype.itemsize
-        fm_bytes = h * w * c * itemsize
-        per = crop_size * w * c * (itemsize + 4) + out_size * out_size * c * itemsize
-        chunk = next(
-            (
-                t
-                for t in (8, 6, 5, 4, 3, 2, 1)
-                if p % t == 0 and fm_bytes + t * per <= budget
-            ),
-            1,
-        )
     assert p % chunk == 0, (p, chunk)
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if feature_map.dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
-    scale = norm[:, (0, 1, 0, 1)]
-    rois_fg = (rois.astype(jnp.float32) * scale[:, None, :]).astype(jnp.float32)
     kernel = functools.partial(
         _roi_taps_kernel,
         chunk=chunk,
@@ -273,7 +265,7 @@ def roi_pool_taps_pallas(
         out_size=out_size,
         w=w,
         c=c,
-        precision=precision,
+        precision=_taps_precision(feature_map.dtype),
     )
     out = pl.pallas_call(
         kernel,
@@ -294,8 +286,249 @@ def roi_pool_taps_pallas(
             pltpu.VMEM((chunk * crop_size, w * c), feature_map.dtype)
         ],
         interpret=interpret,
-    )(rois_fg, feature_map.reshape(b, h, w * c))
+    )(_rois_to_feature_grid(rois, norm), feature_map.reshape(b, h, w * c))
     return jnp.swapaxes(out, 2, 3)  # kernel emits (px, py, C)
+
+
+def _roi_taps_bwd_kernel(
+    rois_ref,  # (1, P, 4) SMEM: corners in feature-grid coords
+    fm_ref,  # (1, H, W*C) VMEM
+    g_ref,  # (1, T, out, out, C) VMEM — px-major (g[0, t, px, py])
+    gfm_ref,  # (1, H, W*C) f32 VMEM out, accumulated across grid dim 1
+    rows_ref,  # VMEM scratch (T*crop, W*C), fm dtype
+    grows_ref,  # VMEM scratch (T*crop, W*C), f32 row cotangents
+    *,
+    chunk: int,
+    crop: int,
+    out_size: int,
+    w: int,
+    c: int,
+    precision,
+):
+    """Backward of _roi_taps_kernel wrt the feature map.
+
+    Recomputes the forward row stage (wy @ fm) to recover the pre-pool
+    column values, splits each output cotangent equally among the argmax
+    ties of its 2x2 (y-sample, x-sample) window — the same subgradient jnp
+    reduce_max defines — pushes it through the two bilinear x-taps into a
+    f32 row-cotangent scratch, and finishes with gfm += wy^T @ grows.
+    """
+    fm = fm_ref[0]  # (H, W*C)
+    h = fm.shape[0]
+    dtype = fm.dtype
+    t_s = chunk * crop
+    base = pl.program_id(1) * chunk
+
+    # WY weight sheet: identical construction to the forward kernel so the
+    # recomputed rows match bit-for-bit (argmax decisions depend on them).
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (t_s, h), 0)
+    step = (r_idx % crop).astype(jnp.float32) / float(crop - 1)
+    pos = jnp.zeros((t_s, h), jnp.float32)
+    for t in range(chunk):
+        lo = rois_ref[0, base + t, 0]
+        hi = rois_ref[0, base + t, 2]
+        pos = jnp.where(r_idx // crop == t, lo + (hi - lo) * step, pos)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (t_s, h), 1).astype(jnp.float32)
+    lo_cell = jnp.floor(pos)
+    frac = pos - lo_cell
+    wy = jnp.where(idx == lo_cell, 1.0 - frac, 0.0) + jnp.where(
+        idx == lo_cell + 1.0, frac, 0.0
+    )
+    wy = (wy * ((pos >= 0.0) & (pos <= float(h - 1)))).astype(dtype)
+
+    rows_ref[...] = jax.lax.dot_general(
+        wy,
+        fm,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    ).astype(dtype)
+    grows_ref[...] = jnp.zeros(grows_ref.shape, grows_ref.dtype)
+
+    for t in range(chunk):
+        x1 = rois_ref[0, base + t, 1]
+        x2 = rois_ref[0, base + t, 3]
+        for px in range(out_size):
+            # Recompute the two pre-pool columns of this output column.
+            cols = []
+            taps = []
+            for q in (2 * px, 2 * px + 1):
+                xs = x1 + (x2 - x1) * (q / (crop - 1))
+                in_r = ((xs >= 0.0) & (xs <= float(w - 1))).astype(jnp.float32)
+                xlo_f = jnp.clip(jnp.floor(xs), 0.0, float(w - 2))
+                f = xs - xlo_f
+                xlo = xlo_f.astype(jnp.int32)
+                w_lo = ((1.0 - f) * in_r).astype(dtype)
+                w_hi = (f * in_r).astype(dtype)
+                seg_lo = rows_ref[pl.ds(t * crop, crop), pl.ds(xlo * c, c)]
+                seg_hi = rows_ref[pl.ds(t * crop, crop), pl.ds((xlo + 1) * c, c)]
+                col = seg_lo * w_lo + seg_hi * w_hi  # (crop_s, C)
+                cols.append(col.reshape(out_size, 2, c))
+                taps.append((xlo, w_lo, w_hi))
+            # Mosaic's cmpf has no bf16 lowering on this target; the cast to
+            # f32 is exact, so equality (the argmax decision) is unchanged.
+            va = cols[0].astype(jnp.float32)
+            vb = cols[1].astype(jnp.float32)
+            outv = jnp.maximum(jnp.max(va, axis=1), jnp.max(vb, axis=1))
+            eq_a = (va == outv[:, None]).astype(jnp.float32)
+            eq_b = (vb == outv[:, None]).astype(jnp.float32)
+            cnt = jnp.sum(eq_a, axis=1) + jnp.sum(eq_b, axis=1)  # (out, C) >= 1
+            gshare = g_ref[0, t, px].astype(jnp.float32) / cnt  # (out_py, C)
+            for eq, (xlo, w_lo, w_hi) in zip((eq_a, eq_b), taps):
+                gcol = (eq * gshare[:, None]).reshape(crop, c)  # f32
+                # Sequential read-modify-writes: adjacent x-samples often
+                # share a tap column, so accumulation order matters.
+                cur = grows_ref[pl.ds(t * crop, crop), pl.ds(xlo * c, c)]
+                grows_ref[pl.ds(t * crop, crop), pl.ds(xlo * c, c)] = (
+                    cur + gcol * w_lo.astype(jnp.float32)
+                )
+                cur = grows_ref[pl.ds(t * crop, crop), pl.ds((xlo + 1) * c, c)]
+                grows_ref[pl.ds(t * crop, crop), pl.ds((xlo + 1) * c, c)] = (
+                    cur + gcol * w_hi.astype(jnp.float32)
+                )
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        gfm_ref[...] = jnp.zeros(gfm_ref.shape, gfm_ref.dtype)
+
+    gfm_ref[...] += jax.lax.dot_general(
+        wy.astype(jnp.float32),
+        grows_ref[...],
+        (((0,), (0,)), ((), ())),  # contract the T*crop rows: wy^T @ grows
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )[None]
+
+
+def roi_pool_taps_pallas_bwd(
+    feature_map: jnp.ndarray,
+    rois: jnp.ndarray,
+    norm: jnp.ndarray,
+    g: jnp.ndarray,
+    crop_size: int = 14,
+    out_size: int = 7,
+    interpret: bool = False,
+    chunk: int = 0,
+) -> jnp.ndarray:
+    """Feature-map cotangent of roi_pool_taps_pallas; g is (B,P,out,out,C)."""
+    b, h, w, c = feature_map.shape
+    p = rois.shape[1]
+    assert crop_size == 2 * out_size, (crop_size, out_size)
+    assert c % 128 == 0, f"channels {c} must be a multiple of 128"
+    itemsize = feature_map.dtype.itemsize
+    if chunk <= 0:
+        # Fixed residents: fm block + f32 gfm out block + the f32 transient
+        # of the final dot; per-chunk: rows (dtype) + grows (f32) + g block.
+        budget = 13 * 1024 * 1024
+        fixed = h * w * c * (itemsize + 4 + 4)
+        per = crop_size * w * c * (itemsize + 4) + out_size * out_size * c * itemsize
+        chunk = next(
+            (t for t in (8, 6, 5, 4, 3, 2, 1) if p % t == 0 and fixed + t * per <= budget),
+            1,
+        )
+    assert p % chunk == 0, (p, chunk)
+    kernel = functools.partial(
+        _roi_taps_bwd_kernel,
+        chunk=chunk,
+        crop=crop_size,
+        out_size=out_size,
+        w=w,
+        c=c,
+        precision=_taps_precision(feature_map.dtype),
+    )
+    gfm = pl.pallas_call(
+        kernel,
+        grid=(b, p // chunk),
+        in_specs=[
+            pl.BlockSpec((1, p, 4), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w * c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, chunk, out_size, out_size, c),
+                lambda i, j: (i, j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, w * c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, w * c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((chunk * crop_size, w * c), feature_map.dtype),
+            pltpu.VMEM((chunk * crop_size, w * c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        _rois_to_feature_grid(rois, norm),
+        feature_map.reshape(b, h, w * c),
+        jnp.swapaxes(g, 2, 3),  # kernel wants px-major, matching forward
+    )
+    return gfm.reshape(b, h, w, c)
+
+
+@functools.lru_cache(maxsize=None)
+def _taps_custom(crop_size: int, out_size: int, interpret: bool, chunk: int):
+    """custom_vjp-wrapped tap kernel for one static configuration."""
+
+    @jax.custom_vjp
+    def f(fm, rois, norm):
+        return _taps_fwd_impl(fm, rois, norm, crop_size, out_size, interpret, chunk)
+
+    def fwd(fm, rois, norm):
+        return f(fm, rois, norm), (fm, rois, norm)
+
+    def bwd(res, g):
+        fm, rois, norm = res
+        gfm = roi_pool_taps_pallas_bwd(
+            fm, rois, norm, g, crop_size, out_size, interpret
+        )
+        # RoIs/norm cotangents are zero BY DEFINITION, not approximation:
+        # proposals are constants of the training step (the reference
+        # detaches them, faster_rcnn.py:331-333; our train graph
+        # stop-gradients samples.boxes before detect_rois).
+        return gfm.astype(fm.dtype), jnp.zeros_like(rois), jnp.zeros_like(norm)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def roi_pool_taps_pallas(
+    feature_map: jnp.ndarray,
+    rois: jnp.ndarray,
+    norm: jnp.ndarray,
+    crop_size: int = 14,
+    out_size: int = 7,
+    interpret: bool = False,
+    chunk: int = 0,
+) -> jnp.ndarray:
+    """Tap-based fused bilinear crop + 2x2 max-pool (see _roi_taps_kernel).
+
+    Same contract as roi_pool_fused_pallas. Requires the channel count to be
+    a multiple of 128 (dynamic lane slices must be 128-aligned).
+    Differentiable wrt feature_map via a Pallas backward kernel
+    (_roi_taps_bwd_kernel); rois/norm receive zero cotangent.
+    """
+    b, h, w, c = feature_map.shape
+    p = rois.shape[1]
+    assert crop_size == 2 * out_size, (crop_size, out_size)
+    assert c % 128 == 0, f"channels {c} must be a multiple of 128"
+    if chunk <= 0:
+        # Budget: fm block + rows scratch + the f32 matmul transient + the
+        # output block this grid step writes.
+        budget = 12 * 1024 * 1024
+        itemsize = feature_map.dtype.itemsize
+        fm_bytes = h * w * c * itemsize
+        per = crop_size * w * c * (itemsize + 4) + out_size * out_size * c * itemsize
+        chunk = next(
+            (
+                t
+                for t in (8, 6, 5, 4, 3, 2, 1)
+                if p % t == 0 and fm_bytes + t * per <= budget
+            ),
+            1,
+        )
+    return _taps_custom(crop_size, out_size, interpret, chunk)(
+        feature_map, rois, norm
+    )
 
 
 @functools.partial(

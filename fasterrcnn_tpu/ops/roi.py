@@ -12,11 +12,10 @@ Replaces the reference's library kernels:
     XLA formulation), provided for parity with checkpoints trained under
     the PyTorch tree. A NumPy oracle lives in tests.
 
-On TPU, inference routes RoI extraction through the tap-based Pallas kernel
-(ops/pallas/roi_pallas.roi_pool_taps_pallas, ~2.1x faster than the einsum
-path below; numbers in that file's docstring). The einsum path remains the
-oracle, the CPU/test path, and the TRAINING path — it is built from
-differentiable XLA ops while the kernel defines no VJP.
+On TPU, both inference and training route RoI extraction through the
+tap-based Pallas kernel (ops/pallas/roi_pallas.roi_pool_taps_pallas, ~2.1x
+faster than the einsum path below; it carries a custom VJP with a Pallas
+backward kernel). The einsum path remains the oracle and the CPU/test path.
 
 Both paths take a *fixed* number of padded RoIs and return fixed-shape
 outputs; invalid RoIs produce garbage that callers mask out (they cost the

@@ -69,7 +69,9 @@ def compiled_memory_analysis(lowered_compiled) -> Dict[str, float]:
 def nan_guard():
     """Raise on NaN production inside jit (debug runs only; disables some
     fusion)."""
-    old = jax.config.read("jax_debug_nans")
+    # config.read() is forbidden for contextmanager-backed flags; the public
+    # accessor is the attribute on jax.config.
+    old = jax.config.jax_debug_nans
     jax.config.update("jax_debug_nans", True)
     try:
         yield

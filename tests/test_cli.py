@@ -123,7 +123,7 @@ def test_cli_memory_stats_and_debug_nans(capsys):
     )
     out = capsys.readouterr().out
     assert "Train step memory" in out and "temp=" in out
-    assert not jax.config.read("jax_debug_nans")
+    assert not jax.config.jax_debug_nans
 
 
 def test_cli_train_on_mesh(tmp_path):
