@@ -499,7 +499,47 @@ def make_predict_fn(model: FasterRCNN, canvas_h: int, canvas_w: int):
         )
         return Detections(boxes=boxes, scores=scores, valid=valid)
 
-    return predict
+    def predict_with_b8_workaround(
+        params, images, image_hw, score_threshold: float = 0.05
+    ):
+        # KNOWN BACKEND FAULT, single-chip TPU only: the fully-compiled
+        # predict program at batch EXACTLY 8 (608x800, any kernel backend,
+        # any per-class cap) crashes the TPU worker on the current
+        # axon/libtpu stack, while B=4/16/32 run fine and every predict
+        # substage run as its own program at B=8 also runs fine — i.e. a
+        # compiler fusion/scheduling bug, not a semantics bug (bisect
+        # evidence: round-3 logs /tmp/stage_*.log; Pallas NMS/RoI on/off
+        # made no difference, per-class cap 100 vs 300 made no difference).
+        # Mitigation: run a B=8 batch as two B=4 halves of the SAME jitted
+        # program — predict is vmapped per image, so the concatenated
+        # result is bit-identical to the fused B=8 batch. Costs one extra
+        # dispatch; compute is unchanged. Scope: single-device TPU runs
+        # (meshes shard the batch; the per-device shape differs from 8).
+        on_single_tpu = (
+            jax.default_backend() == "tpu" and jax.device_count() == 1
+        )
+        forced = bool(os.environ.get("FRCNN_FORCE_PREDICT_B8_SPLIT"))
+        if (
+            images.shape[0] == 8
+            and (on_single_tpu or forced)
+            and not os.environ.get("FRCNN_NO_PREDICT_B8_SPLIT")
+        ):
+            lo = predict(
+                params, images[:4], image_hw[:4], score_threshold=score_threshold
+            )
+            hi = predict(
+                params, images[4:], image_hw[4:], score_threshold=score_threshold
+            )
+            return Detections(
+                boxes=jnp.concatenate([lo.boxes, hi.boxes]),
+                scores=jnp.concatenate([lo.scores, hi.scores]),
+                valid=jnp.concatenate([lo.valid, hi.valid]),
+            )
+        return predict(
+            params, images, image_hw, score_threshold=score_threshold
+        )
+
+    return predict_with_b8_workaround
 
 
 def init_params(model: FasterRCNN, canvas_h: int, canvas_w: int, seed: int = 0):

@@ -204,6 +204,27 @@ def test_predict_contract(model_and_params):
         assert np.asarray(det.boxes)[v].min() >= 0.0
 
 
+def test_predict_b8_split_matches_fused(model_and_params, monkeypatch):
+    """The B=8 half-split workaround (single-TPU backend fault dodge) must be
+    bit-identical to the fused B=8 program: predict is vmapped per image, so
+    concatenating two B=4 runs IS the B=8 run. Forced on CPU via the env
+    gate; on the real chip the fused B=8 program crashes the worker (round-3
+    bisect), which is why the split exists."""
+    model, params = model_and_params
+    rng = np.random.default_rng(5)
+    batch = synthetic_batch(rng, b=8)
+
+    predict = make_predict_fn(model, CANVAS_H, CANVAS_W)
+    monkeypatch.delenv("FRCNN_FORCE_PREDICT_B8_SPLIT", raising=False)
+    fused = predict(params, batch.images, batch.image_hw, score_threshold=0.05)
+    monkeypatch.setenv("FRCNN_FORCE_PREDICT_B8_SPLIT", "1")
+    split = predict(params, batch.images, batch.image_hw, score_threshold=0.05)
+
+    np.testing.assert_array_equal(np.asarray(fused.boxes), np.asarray(split.boxes))
+    np.testing.assert_array_equal(np.asarray(fused.scores), np.asarray(split.scores))
+    np.testing.assert_array_equal(np.asarray(fused.valid), np.asarray(split.valid))
+
+
 def test_resnet50_variant_initializes():
     cfg = dataclasses.replace(tiny_config(), backbone="resnet50")
     model = FasterRCNN(cfg=cfg)
