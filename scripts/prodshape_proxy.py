@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Production-shape learning proxy — the in-environment substitute for the
+VOC2007 mAP gate.
+
+The acceptance bar is >= 71.0% mAP on VOC2007 test (reference README.md:38),
+but this box has no network: the VOC hosts and pretrained-weight URLs are
+unreachable (verified — DNS fails), so the literal gate cannot run here.
+This script is the strongest in-environment substitute (VERDICT r2 item 4):
+
+  * a synthetic VOC-format dataset at PRODUCTION shapes — 375x500 originals
+    that resize to 600x800, i.e. the standard (608, 800) canvas bucket;
+  * the STANDARD model config — full 128/256/512-px anchor pyramid,
+    12000->2000 train / 6000->300 infer proposal caps, bs=8, bf16;
+  * trained through the REAL CLI (python -m fasterrcnn_tpu --train) on the
+    real chip, evaluated on a held-out test split through --eval;
+  * asserts final held-out mAP >= 80% and writes PRODSHAPE_PROXY.json.
+
+When network exists, the real gate is one command away — see the "VOC2007
+runbook" section of README.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+class _Tee(io.TextIOBase):
+    """Capture CLI stdout while still streaming it to the terminal."""
+
+    def __init__(self):
+        self.buf = io.StringIO()
+
+    def write(self, s):
+        self.buf.write(s)
+        sys.__stdout__.write(s)
+        return len(s)
+
+    def flush(self):
+        sys.__stdout__.flush()
+
+
+def run_cli(args):
+    from fasterrcnn_tpu.__main__ import main as cli_main
+
+    tee = _Tee()
+    with contextlib.redirect_stdout(tee):
+        cli_main(args)
+    return tee.buf.getvalue()
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--epochs", type=int, default=25)
+    p.add_argument("--train-images", type=int, default=128)
+    p.add_argument("--eval-images", type=int, default=32)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--backbone", default="vgg16")
+    p.add_argument("--learning-rate", type=float, default=1e-3)
+    p.add_argument("--threshold", type=float, default=80.0,
+                   help="Required held-out mAP (%%)")
+    p.add_argument("--no-record", action="store_true",
+                   help="Skip writing PRODSHAPE_PROXY.json")
+    args = p.parse_args()
+
+    root = tempfile.mkdtemp(prefix="prodshape_voc_")
+    try:
+        voc = os.path.join(root, "VOC2007")
+        from fasterrcnn_tpu.data.synthetic_voc import generate_voc_dataset
+
+        generate_voc_dataset(
+            voc,
+            splits={"trainval": args.train_images, "test": args.eval_images},
+            image_sizes=((375, 500),),  # min-side-600 resize -> (608, 800)
+            seed=7,
+        )
+        weights = os.path.join(root, "proxy_weights.msgpack")
+
+        t0 = time.time()
+        run_cli([
+            "--train",
+            "--dataset-dir", voc,
+            "--epochs", str(args.epochs),
+            "--batch-size", str(args.batch_size),
+            "--eval-batch-size", str(args.batch_size),
+            "--compute-dtype", "bfloat16",
+            "--cache-images",
+            "--backbone", args.backbone,
+            "--learning-rate", str(args.learning_rate),
+            "--periodic-eval-samples", str(args.eval_images),
+            "--save-to", weights,
+            "--seed", "0",
+        ])
+        train_seconds = time.time() - t0
+
+        out = run_cli([
+            "--eval",
+            "--dataset-dir", voc,
+            "--load-from", weights,
+            "--eval-batch-size", str(args.batch_size),
+            "--compute-dtype", "bfloat16",
+            "--backbone", args.backbone,
+        ])
+        matches = re.findall(r"Mean Average Precision = ([0-9.]+)%", out)
+        map_final = float(matches[-1])
+
+        import jax
+
+        record = {
+            "map_heldout_pct": map_final,
+            "threshold_pct": args.threshold,
+            "passed": map_final >= args.threshold,
+            "train_images": args.train_images,
+            "eval_images": args.eval_images,
+            "epochs": args.epochs,
+            "batch_size": args.batch_size,
+            "backbone": args.backbone,
+            "canvas": "608x800 (standard bucket; full anchor pyramid, "
+                      "12000->2000 train caps, bf16)",
+            "train_wall_seconds": round(train_seconds, 1),
+            "device": str(jax.devices()[0]),
+        }
+        print(json.dumps(record))
+        if not args.no_record:
+            with open(os.path.join(REPO, "PRODSHAPE_PROXY.json"), "w") as f:
+                json.dump(record, f, indent=2)
+                f.write("\n")
+        if not record["passed"]:
+            raise SystemExit(
+                f"held-out mAP {map_final:.2f}% < required {args.threshold}%"
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
