@@ -154,8 +154,14 @@ class Engine:
                 mesh_lib.param_shardings(self.mesh, self.opt_state),
             )
         else:
-            self.params = params
-            self.opt_state = self.tx.init(params)
+            # Commit to the device even single-chip: checkpoint loaders
+            # return HOST numpy trees, and uncommitted inputs are re-uploaded
+            # by jit on EVERY call — ~550 MB of VGG-16 weights per predict
+            # dispatch over a remote-tunnel backend (measured: a 32-image
+            # eval went from ~2 s with device-resident params to minutes
+            # with host params after --load-from).
+            self.params = jax.device_put(params, jax.devices()[0])
+            self.opt_state = self.tx.init(self.params)
 
     def _shard_batch(self, batch: Batch) -> Batch:
         if self.mesh is None:

@@ -62,7 +62,12 @@ def run_cli(args):
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--epochs", type=int, default=25)
+    p.add_argument("--epochs", type=int, default=20,
+                   help="Phase-1 epochs at --learning-rate")
+    p.add_argument("--epochs2", type=int, default=8,
+                   help="Phase-2 epochs at learning-rate/10 (the reference's "
+                        "two-phase schedule, train_pytorch_vgg16.sh:2-3; 0 "
+                        "disables)")
     p.add_argument("--train-images", type=int, default=128)
     p.add_argument("--eval-images", type=int, default=32)
     p.add_argument("--batch-size", type=int, default=8)
@@ -87,21 +92,34 @@ def main():
         )
         weights = os.path.join(root, "proxy_weights.msgpack")
 
+        def train_phase(epochs, lr, load, save, seed):
+            cli = [
+                "--train",
+                "--dataset-dir", voc,
+                "--epochs", str(epochs),
+                "--batch-size", str(args.batch_size),
+                "--eval-batch-size", str(args.batch_size),
+                "--compute-dtype", "bfloat16",
+                "--cache-images",
+                "--backbone", args.backbone,
+                "--learning-rate", str(lr),
+                "--periodic-eval-samples", str(args.eval_images),
+                "--save-to", save,
+                "--seed", str(seed),
+            ]
+            if load:
+                cli += ["--load-from", load]
+            run_cli(cli)
+
+        # The reference's two-phase schedule (train_pytorch_vgg16.sh:2-3):
+        # long phase at lr, short phase at lr/10 with weights reloaded (and
+        # therefore a fresh optimizer — the README.md:231-256 resume rule).
         t0 = time.time()
-        run_cli([
-            "--train",
-            "--dataset-dir", voc,
-            "--epochs", str(args.epochs),
-            "--batch-size", str(args.batch_size),
-            "--eval-batch-size", str(args.batch_size),
-            "--compute-dtype", "bfloat16",
-            "--cache-images",
-            "--backbone", args.backbone,
-            "--learning-rate", str(args.learning_rate),
-            "--periodic-eval-samples", str(args.eval_images),
-            "--save-to", weights,
-            "--seed", "0",
-        ])
+        train_phase(args.epochs, args.learning_rate, None, weights, seed=0)
+        if args.epochs2:
+            train_phase(
+                args.epochs2, args.learning_rate / 10, weights, weights, seed=1
+            )
         train_seconds = time.time() - t0
 
         out = run_cli([
@@ -124,6 +142,8 @@ def main():
             "train_images": args.train_images,
             "eval_images": args.eval_images,
             "epochs": args.epochs,
+            "epochs_phase2": args.epochs2,
+            "schedule": "two-phase (lr, lr/10), fresh optimizer at reload",
             "batch_size": args.batch_size,
             "backbone": args.backbone,
             "canvas": "608x800 (standard bucket; full anchor pyramid, "

@@ -240,3 +240,23 @@ def test_load_weights_preserves_mesh_sharding(tmp_path):
     assert fc1_traces and all(
         t.sharding.spec == jax.sharding.PartitionSpec(None, "tp") for t in fc1_traces
     )
+
+
+def test_load_weights_commits_to_device_without_mesh(tmp_path):
+    """Single-device load_weights must leave COMMITTED device arrays, not the
+    checkpoint loader's host numpy tree — uncommitted params are re-uploaded
+    by jit on every call (~550 MB per predict dispatch for VGG-16 over a
+    remote-tunnel backend)."""
+    from fasterrcnn_tpu.config import TrainConfig
+    from fasterrcnn_tpu.engine import Engine
+    from tests.test_model import tiny_config, CANVAS_H, CANVAS_W
+
+    engine = Engine(
+        tiny_config(), TrainConfig(), seed=0, init_canvas=(CANVAS_H, CANVAS_W)
+    )
+    path = str(tmp_path / "w.msgpack")
+    engine.save_weights(path)
+    engine.load_weights(path)
+    for p, leaf in jax.tree_util.tree_leaves_with_path(engine.params):
+        assert isinstance(leaf, jax.Array), jax.tree_util.keystr(p)
+        assert leaf.committed, jax.tree_util.keystr(p)
