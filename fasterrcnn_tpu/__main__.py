@@ -318,7 +318,7 @@ def train(engine, options):
                     % (dev, ms["bytes_in_use_mb"], ms["peak_bytes_in_use_mb"],
                        ms["bytes_limit_mb"])
                 )
-            for canvas in list(engine._train_steps):
+            for canvas in engine.compiled_canvases():
                 mem = engine.train_step_memory_analysis(
                     canvas, options.batch_size
                 )

@@ -406,6 +406,84 @@ def make_train_step(model: FasterRCNN, tx, canvas_h: int, canvas_w: int):
 
 
 # ---------------------------------------------------------------------------
+# Packed train step (the production Engine path)
+# ---------------------------------------------------------------------------
+#
+# Every host->device array and every eager device op in the train loop costs
+# one backend round trip, and on a tunneled backend that latency swings from
+# ~5 ms to ~80 ms with load. The Batch API costs 6 transfers + a per-step
+# rng split + a per-step loss stack = ~9 interactions per step. The packed
+# path folds everything except the big uint8 image tensor into ONE (B, K)
+# f32 aux array (step index included, so the rng fold-in happens inside the
+# jit) and returns the stacked (4,) loss vector from the same program:
+# 2 transfers + 1 execute per step, nothing else.
+
+
+def aux_width(max_gt: int) -> int:
+    """Columns of the packed aux array: hw(2) + boxes(4G) + classes(G) +
+    mask(G) + sample_weight(1) + step_idx(1)."""
+    return 2 + 6 * max_gt + 2
+
+
+def pack_aux(hb, step_idx: int) -> np.ndarray:
+    """Host-side packing of everything in Batch except images.
+
+    gt classes (< 21) and the step index (< 2^24) are exact in f32.
+    """
+    b = hb.images.shape[0]
+    g = hb.gt_boxes.shape[1]
+    return np.concatenate(
+        [
+            np.asarray(hb.image_hw, np.float32),
+            np.asarray(hb.gt_boxes, np.float32).reshape(b, g * 4),
+            np.asarray(hb.gt_classes, np.float32),
+            np.asarray(hb.gt_mask, np.float32),
+            np.asarray(hb.sample_weight, np.float32).reshape(b, 1),
+            np.full((b, 1), float(step_idx), np.float32),
+        ],
+        axis=1,
+    )
+
+
+def unpack_aux(images, aux, max_gt: int):
+    """(inside jit) -> (Batch, step_idx scalar)."""
+    g = max_gt
+    b = aux.shape[0]
+    batch = Batch(
+        images=images,
+        image_hw=aux[:, 0:2],
+        gt_boxes=aux[:, 2 : 2 + 4 * g].reshape(b, g, 4),
+        gt_classes=aux[:, 2 + 4 * g : 2 + 5 * g].astype(jnp.int32),
+        gt_mask=aux[:, 2 + 5 * g : 2 + 6 * g],
+        sample_weight=aux[:, 2 + 6 * g],
+    )
+    return batch, aux[0, 2 + 6 * g + 1].astype(jnp.int32)
+
+
+def make_train_step_packed(model: FasterRCNN, tx, canvas_h: int, canvas_w: int):
+    """Packed-aux twin of make_train_step (same loss graph by construction:
+    both call compute_losses). Returns (params, opt_state, losses,
+    loss_vec) where loss_vec is the (4,) stacked vector for device-side
+    stats buffering."""
+    cfg = model.cfg
+    grid = anchor_grid_for(cfg, canvas_h, canvas_w)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, images, aux, base_rng):
+        batch, step_idx = unpack_aux(images, aux, cfg.max_gt_boxes)
+        rng = jax.random.fold_in(base_rng, step_idx)
+        (_, losses), grads = jax.value_and_grad(
+            lambda p: compute_losses(model, p, batch, rng, cfg, grid),
+            has_aux=True,
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, losses, jnp.stack(list(losses))
+
+    return train_step
+
+
+# ---------------------------------------------------------------------------
 # Inference
 # ---------------------------------------------------------------------------
 

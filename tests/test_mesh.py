@@ -55,7 +55,7 @@ def test_engine_trains_on_mesh():
     means = stats.means()
     assert np.isfinite(sum(means.values()))
     assert means["detector_class"] > 0
-    (step,) = engine._train_steps.values()
+    (step,) = engine._packed_steps.values()
     assert step._cache_size() == 1
 
     mAP = engine.evaluate(

@@ -179,8 +179,8 @@ def test_one_trace_per_bucket_with_residues():
     )
     data = SyntheticDataset(num_samples=5, height=120, width=150, seed=0)
     engine.train_epoch(data, batch_size=2, progress=False)
-    assert len(engine._train_steps) == 1  # one bucket touched
-    (step,) = engine._train_steps.values()
+    assert len(engine._packed_steps) == 1  # one bucket touched
+    (step,) = engine._packed_steps.values()
     assert step._cache_size() == 1  # residue reused the full-size program
 
 
@@ -202,6 +202,63 @@ def test_predict_contract(model_and_params):
     if v.any():
         assert np.asarray(det.scores)[v].min() > 0.05
         assert np.asarray(det.boxes)[v].min() >= 0.0
+
+
+def test_packed_train_step_matches_batch_step(model_and_params):
+    """make_train_step_packed (2-transfer production path) must compute the
+    exact same step as the Batch-API make_train_step: same losses, same
+    updated params, given the same fold-in rng."""
+    from fasterrcnn_tpu.config import TrainConfig
+    from fasterrcnn_tpu.data.pipeline import make_host_batch
+    from fasterrcnn_tpu.engine import make_optimizer
+    from fasterrcnn_tpu.models.faster_rcnn import (
+        make_train_step,
+        make_train_step_packed,
+        pack_aux,
+    )
+
+    model, params = model_and_params
+    tx, _ = make_optimizer(model.cfg, TrainConfig(), params)
+    opt0 = tx.init(params)
+    batch = synthetic_batch(np.random.default_rng(9), b=2)
+    base = jax.random.key(3)
+    step_idx = 7
+
+    step_b = make_train_step(model, tx, CANVAS_H, CANVAS_W)
+    p1, _, losses_b = step_b(
+        jax.tree.map(jnp.copy, params),
+        jax.tree.map(jnp.copy, opt0),
+        batch,
+        jax.random.fold_in(base, step_idx),
+    )
+
+    class _HB:  # pack_aux reads HostBatch-shaped attributes
+        images = np.asarray(batch.images)
+        image_hw = np.asarray(batch.image_hw)
+        gt_boxes = np.asarray(batch.gt_boxes)
+        gt_classes = np.asarray(batch.gt_classes)
+        gt_mask = np.asarray(batch.gt_mask)
+        sample_weight = np.asarray(batch.sample_weight)
+
+    step_p = make_train_step_packed(model, tx, CANVAS_H, CANVAS_W)
+    p2, _, losses_p, vec = step_p(
+        jax.tree.map(jnp.copy, params),
+        jax.tree.map(jnp.copy, opt0),
+        batch.images,
+        jnp.asarray(pack_aux(_HB, step_idx)),
+        base,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(jnp.stack(list(losses_b))), np.asarray(vec), rtol=0, atol=0
+    )
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p1),
+        jax.tree_util.tree_leaves_with_path(p2),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(path)
+        )
 
 
 def test_predict_b8_split_matches_fused(model_and_params, monkeypatch):
