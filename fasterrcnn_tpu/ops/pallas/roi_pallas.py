@@ -513,12 +513,14 @@ def roi_pool_taps_pallas(
     assert c % 128 == 0, f"channels {c} must be a multiple of 128"
     if chunk <= 0:
         # Budget: fm block + rows scratch + the f32 matmul transient + the
-        # output block this grid step writes. A hardware sweep at the
-        # production shape (B=32, 38x50x512 bf16, P=300) measured chunk 10
-        # fastest (15.1 ms vs 15.8 at chunk 4) and chunk 12 compiling and
-        # running fine at ~28 MB resident — v5e VMEM is 128 MB, so the
-        # budget guards against pathological shapes, not this one.
-        budget = 28 * 1024 * 1024
+        # output block this grid step writes. Hardware-calibrated, not
+        # first-principles: the binding resource is Mosaic's 16 MB scoped
+        # vmem STACK, whose accounting doesn't match a simple sum. Observed
+        # on v5e-1 at 38x50 bf16: C=512 compiles and runs through chunk 12
+        # (10 fastest, 15.1 ms vs 15.8 at 4); C=1024 (ResNet) FAILS compile
+        # at chunk 5 (16.35 M stack vs the 16 M limit) while chunk 1-2 run.
+        # The split budget reproduces exactly those known-good picks.
+        budget = (24 if c <= 512 else 12) * 1024 * 1024
         itemsize = feature_map.dtype.itemsize
         fm_bytes = h * w * c * itemsize
         per = crop_size * w * c * (itemsize + 4) + out_size * out_size * c * itemsize
