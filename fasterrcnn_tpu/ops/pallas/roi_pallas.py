@@ -419,7 +419,12 @@ def roi_pool_taps_pallas_bwd(
     if chunk <= 0:
         # Fixed residents: fm block + f32 gfm out block + the f32 transient
         # of the final dot; per-chunk: rows (dtype) + grows (f32) + g block.
-        budget = 13 * 1024 * 1024
+        # Budget hardware-calibrated (same caveat as the forward picker: the
+        # 16 MB scoped-vmem stack doesn't follow this sum): at train shapes
+        # (B=8, 38x50x512 bf16, P=128) chunk 4 measured 3.73 ms vs 5.18 at
+        # chunk 1 and chunk 8 fails Mosaic compile; 19 MB selects exactly 4
+        # there and falls back to the proven chunk 1 for C=1024 (ResNet).
+        budget = 19 * 1024 * 1024
         fixed = h * w * c * (itemsize + 4 + 4)
         per = crop_size * w * c * (itemsize + 4) + out_size * out_size * c * itemsize
         chunk = next(
