@@ -25,7 +25,7 @@ import numpy as np
 import optax
 
 from fasterrcnn_tpu.config import ModelConfig, TrainConfig
-from fasterrcnn_tpu.data.pipeline import HostBatch, Prefetcher, batched
+from fasterrcnn_tpu.data.pipeline import Prefetcher, batched
 from fasterrcnn_tpu.models.backbone import get_backbone
 from fasterrcnn_tpu.models.faster_rcnn import (
     Batch,
@@ -93,17 +93,6 @@ def make_optimizer(model_cfg: ModelConfig, train_cfg: TrainConfig, params):
     return tx, labels
 
 
-def host_to_device_batch(hb: HostBatch) -> Batch:
-    return Batch(
-        images=jnp.asarray(hb.images),
-        image_hw=jnp.asarray(hb.image_hw),
-        gt_boxes=jnp.asarray(hb.gt_boxes),
-        gt_classes=jnp.asarray(hb.gt_classes),
-        gt_mask=jnp.asarray(hb.gt_mask),
-        sample_weight=jnp.asarray(hb.sample_weight),
-    )
-
-
 class Engine:
     """Holds params/opt state and per-canvas compiled programs.
 
@@ -167,13 +156,6 @@ class Engine:
             # with host params after --load-from).
             self.params = jax.device_put(params, jax.devices()[0])
             self.opt_state = self.tx.init(self.params)
-
-    def _shard_batch(self, batch: Batch) -> Batch:
-        if self.mesh is None:
-            return batch
-        from fasterrcnn_tpu.parallel import mesh as mesh_lib
-
-        return jax.device_put(batch, mesh_lib.batch_shardings(self.mesh, batch))
 
     def _check_batch_size(self, batch_size: int) -> None:
         if self.mesh is None:
