@@ -267,8 +267,8 @@ class Engine:
 
         # Queue depth matches the loss-flush window: while the main thread
         # blocks draining a flush block, the worker can stage an entire next
-        # window (16 x ~12 MB device batches ~= 190 MB HBM — cheap).
-        flush_every = int(os.environ.get("FRCNN_LOSS_FLUSH_STEPS", "16"))
+        # window (32 x ~12 MB device batches ~= 380 MB HBM — cheap).
+        flush_every = int(os.environ.get("FRCNN_LOSS_FLUSH_STEPS", "32"))
         batches = Prefetcher(
             to_device(
                 batched(iter(dataset), batch_size, self.model_cfg.max_gt_boxes)
@@ -286,7 +286,8 @@ class Engine:
         # on a good day and ~800 ms under tunnel load — either way it is the
         # train loop's dominant non-compute cost; VERDICT r2 Missing #3).
         # Per-step (4,) loss vectors stay on device; every
-        # `loss_flush_steps` the host stacks them in one tiny device op and
+        # `loss_flush_steps` (32; fetch round trips have been measured from
+        # 33 ms to 3.9 s on this backend) the host stacks them in one tiny device op and
         # pulls the whole (N, 4) block in ONE round trip, started
         # asynchronously so the wire time overlaps the next steps' compute.
         # No per-step value is lost — only the progress-bar refresh is
@@ -379,7 +380,7 @@ class Engine:
         # serializing the whole eval on wire latency.
         from collections import deque
 
-        depth = int(os.environ.get("FRCNN_EVAL_INFLIGHT", "3"))
+        depth = int(os.environ.get("FRCNN_EVAL_INFLIGHT", "8"))
         inflight: deque = deque()
 
         def drain_one():
