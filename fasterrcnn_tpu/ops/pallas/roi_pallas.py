@@ -419,12 +419,14 @@ def roi_pool_taps_pallas_bwd(
     if chunk <= 0:
         # Fixed residents: fm block + f32 gfm out block + the f32 transient
         # of the final dot; per-chunk: rows (dtype) + grows (f32) + g block.
-        # Budget hardware-calibrated (same caveat as the forward picker: the
-        # 16 MB scoped-vmem stack doesn't follow this sum): at train shapes
-        # (B=8, 38x50x512 bf16, P=128) chunk 4 measured 3.73 ms vs 5.18 at
-        # chunk 1 and chunk 8 fails Mosaic compile; 19 MB selects exactly 4
-        # there and falls back to the proven chunk 1 for C=1024 (ResNet).
-        budget = 19 * 1024 * 1024
+        # Chunk 1 is the only pick that compiles INSIDE the real train
+        # step: Mosaic's 16 MB scoped-vmem stack accounts ~2.3 MB higher
+        # in-graph than for a standalone pallas_call (hardware-measured:
+        # chunk 4 runs standalone at 3.73 ms vs 5.18 at chunk 1, but the
+        # packed train step fails compile at 19.96M/16M with chunk 4 and
+        # 16.44M/16M even with chunk 2). Do not raise this without
+        # re-running /tmp-style probes of the REAL packed step on hardware.
+        budget = 13 * 1024 * 1024
         fixed = h * w * c * (itemsize + 4 + 4)
         per = crop_size * w * c * (itemsize + 4) + out_size * out_size * c * itemsize
         chunk = next(
