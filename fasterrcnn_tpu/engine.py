@@ -34,6 +34,7 @@ from fasterrcnn_tpu.models.faster_rcnn import (
     make_predict_fn,
     make_train_step,
     make_train_step_packed,
+    make_train_step_scan,
     pack_aux,
 )
 from fasterrcnn_tpu.utils import checkpoint as ckpt_lib
@@ -120,6 +121,7 @@ class Engine:
         self.set_params(self.params)
         self._train_steps: Dict[Tuple[int, int], callable] = {}
         self._packed_steps: Dict[Tuple[int, int], callable] = {}
+        self._scan_steps: Dict[Tuple[Tuple[int, int], int], callable] = {}
         self._global_step = 0
         self._predict_fns: Dict[Tuple[int, int], callable] = {}
         self._rng = jax.random.key(seed)
@@ -187,17 +189,32 @@ class Engine:
         return self._train_steps[canvas_hw]
 
     def compiled_canvases(self):
-        """Canvas buckets a train step has been built for (either API)."""
-        return sorted(set(self._train_steps) | set(self._packed_steps))
+        """Canvas buckets a train step has been built for (any API)."""
+        return sorted(
+            set(self._train_steps)
+            | set(self._packed_steps)
+            | {canvas for canvas, _ in self._scan_steps}
+        )
 
     def packed_step_for(self, canvas_hw: Tuple[int, int]):
-        """The production train-loop program: 2 transfers + 1 execute per
-        step (see models/faster_rcnn.make_train_step_packed)."""
+        """Single-step packed program: 2 transfers + 1 execute per step
+        (see models/faster_rcnn.make_train_step_packed). Used for K-block
+        residues and when FRCNN_SCAN_STEPS=1."""
         if canvas_hw not in self._packed_steps:
             self._packed_steps[canvas_hw] = make_train_step_packed(
                 self.model, self.tx, *canvas_hw
             )
         return self._packed_steps[canvas_hw]
+
+    def scan_step_for(self, canvas_hw: Tuple[int, int], k: int):
+        """The production train-loop program: K optimizer steps per
+        dispatch, 2 stacked transfers per K steps (see
+        models/faster_rcnn.make_train_step_scan)."""
+        if (canvas_hw, k) not in self._scan_steps:
+            self._scan_steps[(canvas_hw, k)] = make_train_step_scan(
+                self.model, self.tx, *canvas_hw, k
+            )
+        return self._scan_steps[(canvas_hw, k)]
 
     def predict_fn_for(self, canvas_hw: Tuple[int, int]):
         if canvas_hw not in self._predict_fns:
@@ -242,76 +259,111 @@ class Engine:
         stats = stats or TrainingStatistics()
         self._check_batch_size(batch_size)
 
-        # Batch assembly AND the host->device upload both run in the
-        # prefetch thread: measured 46 + 21 ms/step of host work that would
-        # otherwise serialize with the ~77 ms device step (they overlap the
-        # flush waits below, where the main thread blocks with the GIL
-        # released). The queue holds device-resident batches (~12 MB each).
-        # Uploads use the PACKED layout (models/faster_rcnn.pack_aux): one
-        # uint8 image tensor + one (B, K) f32 aux array per step — every
-        # extra array is an extra backend round trip under tunnel load.
+        # Host<->device traffic is amortized over K-step blocks
+        # (FRCNN_SCAN_STEPS, default 8): K consecutive same-canvas batches
+        # are stacked into ONE (K, B, ...) uint8 image tensor + ONE
+        # (K, B, W) f32 aux tensor — 2 upload RPCs — and dispatched as ONE
+        # lax.scan program running K full optimizer steps
+        # (models/faster_rcnn.make_train_step_scan). Under degraded tunnel
+        # latency (33-800 ms/RPC on this backend) this is the difference
+        # between the epoch rate tracking the step rate and an 8x collapse
+        # (BENCH_r03: 13.88 vs 108.58 images/s). Per-bucket residues of
+        # fewer than K batches fall back to the single-step packed program.
+        # Batch assembly AND the uploads both run in the prefetch thread:
+        # measured 46 + 21 ms/step of host work that would otherwise
+        # serialize with the ~77 ms device step (they overlap the flush
+        # waits below, where the main thread blocks with the GIL released).
         start_step = self._global_step
+        scan_k = max(1, int(os.environ.get("FRCNN_SCAN_STEPS", "8")))
+        flush_every = int(os.environ.get("FRCNN_LOSS_FLUSH_STEPS", "32"))
+        from fasterrcnn_tpu.parallel import mesh as mesh_lib
+
+        def upload(arrays, shard_fn):
+            staged = tuple(jnp.asarray(a) for a in arrays)
+            if self.mesh is not None:
+                staged = jax.device_put(staged, shard_fn(self.mesh, staged))
+            return staged
+
+        def upload_step(hb, step_idx):
+            images, aux = upload(
+                (hb.images, pack_aux(hb, step_idx)), mesh_lib.batch_shardings
+            )
+            return "step", hb.canvas_hw, images, aux, 1
 
         def to_device(host_batches):
-            for i, hb in enumerate(host_batches):
-                images = jnp.asarray(hb.images)
-                aux = jnp.asarray(pack_aux(hb, start_step + i))
-                if self.mesh is not None:
-                    from fasterrcnn_tpu.parallel import mesh as mesh_lib
-
-                    images, aux = jax.device_put(
-                        (images, aux),
-                        mesh_lib.batch_shardings(self.mesh, (images, aux)),
+            # Emitted items: (kind, canvas_hw, images, aux, n_steps) with
+            # kind "scan" (stacked (K,B,...) block) or "step" (one batch).
+            idx = 0
+            pending: Dict[Tuple[int, int], list] = {}
+            for hb in host_batches:
+                step_idx = start_step + idx
+                idx += 1
+                if scan_k == 1:
+                    yield upload_step(hb, step_idx)
+                    continue
+                pending.setdefault(hb.canvas_hw, []).append((hb, step_idx))
+                block = pending[hb.canvas_hw]
+                if len(block) == scan_k:
+                    images_k = np.stack([b.images for b, _ in block])
+                    aux_k = np.stack([pack_aux(b, si) for b, si in block])
+                    pending[hb.canvas_hw] = []
+                    images, aux = upload(
+                        (images_k, aux_k), mesh_lib.scan_batch_shardings
                     )
-                yield hb.canvas_hw, images, aux
+                    yield "scan", hb.canvas_hw, images, aux, scan_k
+            # Residues: single packed steps (padding a scan block with
+            # zero-weight steps is NOT a no-op — momentum still advances).
+            for canvas_hw, block in pending.items():
+                for hb, step_idx in block:
+                    yield upload_step(hb, step_idx)
 
-        # Queue depth matches the loss-flush window: while the main thread
-        # blocks draining a flush block, the worker can stage an entire next
-        # window (32 x ~12 MB device batches ~= 380 MB HBM — cheap).
-        flush_every = int(os.environ.get("FRCNN_LOSS_FLUSH_STEPS", "32"))
+        # Queue depth covers the loss-flush window in STEPS: while the main
+        # thread blocks draining a flush block, the worker can stage an
+        # entire next window (at K=8/flush 32 that is 4 stacked blocks
+        # ~= 380 MB device memory — cheap).
         batches = Prefetcher(
             to_device(
                 batched(iter(dataset), batch_size, self.model_cfg.max_gt_boxes)
             ),
-            depth=flush_every,
+            depth=max(2, flush_every // scan_k),
         )
-        iterator = batches
+        bar = None
         if progress:
             from tqdm import tqdm
 
             total = (getattr(dataset, "num_samples", 0) + batch_size - 1) // batch_size
-            iterator = tqdm(batches, total=total or None)
+            bar = tqdm(total=total or None)
         # Loss stats are fetched in BATCHES of steps, not per step: each
         # device->host fetch pays a full backend round trip (measured 33 ms
-        # on a good day and ~800 ms under tunnel load — either way it is the
-        # train loop's dominant non-compute cost; VERDICT r2 Missing #3).
-        # Per-step (4,) loss vectors stay on device; every
-        # `loss_flush_steps` (32; fetch round trips have been measured from
-        # 33 ms to 3.9 s on this backend) the host stacks them in one tiny device op and
-        # pulls the whole (N, 4) block in ONE round trip, started
+        # on a good day and ~800 ms under tunnel load). Scan blocks already
+        # return device-resident (K, 4) loss blocks; every
+        # FRCNN_LOSS_FLUSH_STEPS rows the host concatenates them in one
+        # device op and pulls the whole block in ONE round trip, started
         # asynchronously so the wire time overlaps the next steps' compute.
         # No per-step value is lost — only the progress-bar refresh is
-        # quantized to the flush cadence. (flush_every is defined above so
-        # the prefetch depth can match it.)
-        buf: list = []
+        # quantized to the flush cadence.
+        buf: list = []  # device blocks, each (n_i, 4)
+        buf_rows = 0
         pending_block = None
 
         def consume(block):
             for row in np.asarray(block):
                 stats.on_training_step_values(row)
-            if progress:
-                iterator.set_postfix(stats.get_progbar_postfix())
+            if bar is not None:
+                bar.set_postfix(stats.get_progbar_postfix())
 
         def flush():
-            # Stack the buffered vectors on device, START the D2H copy, and
-            # only consume the PREVIOUS block — by the time a block is read
-            # on the host its copy has been in flight for a whole flush
-            # period, so the round trip overlaps compute instead of stalling.
-            nonlocal pending_block
+            # Concatenate the buffered blocks on device, START the D2H
+            # copy, and only consume the PREVIOUS block — by the time a
+            # block is read on the host its copy has been in flight for a
+            # whole flush period, so the round trip overlaps compute
+            # instead of stalling.
+            nonlocal pending_block, buf_rows
             if not buf:
                 return
-            block = jnp.stack(buf)
+            block = buf[0] if len(buf) == 1 else jnp.concatenate(buf)
             buf.clear()
+            buf_rows = 0
             try:
                 block.copy_to_host_async()
             except (AttributeError, NotImplementedError):
@@ -320,27 +372,37 @@ class Engine:
                 consume(pending_block)
             pending_block = block
 
+        steps_done = 0
         try:
-            for step_idx, (canvas_hw, images, aux) in enumerate(iterator):
-                if max_steps is not None and step_idx >= max_steps:
+            for kind, canvas_hw, images, aux, n in batches:
+                if max_steps is not None and steps_done >= max_steps:
                     break
-                step = self.packed_step_for(canvas_hw)
-                self.params, self.opt_state, _losses, loss_vec = step(
-                    self.params,
-                    self.opt_state,
-                    images,
-                    aux,
-                    self._rng,
-                )
-                self._global_step += 1
-                buf.append(loss_vec)
-                if len(buf) >= flush_every:
+                if kind == "scan":
+                    step = self.scan_step_for(canvas_hw, n)
+                    self.params, self.opt_state, loss_block = step(
+                        self.params, self.opt_state, images, aux, self._rng
+                    )
+                    buf.append(loss_block)
+                else:
+                    step = self.packed_step_for(canvas_hw)
+                    self.params, self.opt_state, _losses, loss_vec = step(
+                        self.params, self.opt_state, images, aux, self._rng
+                    )
+                    buf.append(loss_vec[None])
+                self._global_step += n
+                steps_done += n
+                buf_rows += n
+                if bar is not None:
+                    bar.update(n)
+                if buf_rows >= flush_every:
                     flush()
             flush()
             if pending_block is not None:
                 consume(pending_block)
         finally:
             batches.close()
+            if bar is not None:
+                bar.close()
         return stats
 
     def evaluate(
@@ -427,7 +489,7 @@ class Engine:
                     except (AttributeError, NotImplementedError):
                         break
                 inflight.append((det, hb.samples))
-                if len(inflight) > depth:
+                if len(inflight) >= depth:
                     drain_one()
             while inflight:
                 drain_one()

@@ -449,6 +449,10 @@ def unpack_aux(images, aux, max_gt: int):
     """(inside jit) -> (Batch, step_idx scalar)."""
     g = max_gt
     b = aux.shape[0]
+    assert aux.shape[1] == aux_width(g), (
+        f"packed aux width {aux.shape[1]} != aux_width({g})={aux_width(g)}; "
+        "pack_aux and unpack_aux layouts have drifted"
+    )
     batch = Batch(
         images=images,
         image_hw=aux[:, 0:2],
@@ -481,6 +485,55 @@ def make_train_step_packed(model: FasterRCNN, tx, canvas_h: int, canvas_w: int):
         return params, opt_state, losses, jnp.stack(list(losses))
 
     return train_step
+
+
+def make_train_step_scan(
+    model: FasterRCNN, tx, canvas_h: int, canvas_w: int, k: int
+):
+    """K optimizer steps per dispatch: the packed step under `jax.lax.scan`.
+
+    The packed step cut per-step host<->device traffic to 2 uploads + 1
+    execute, but under degraded tunnel latency even that serializes ~3 wire
+    round trips against a ~75 ms device step (the 8x epoch-vs-step gap in
+    BENCH_r03). This program amortizes them over K steps: ONE stacked
+    (K, B, ...) upload per tensor and ONE dispatch run K full optimizer
+    steps, so wire cost per step drops by K-fold and the epoch rate tracks
+    the isolated step rate under any backend weather.
+
+    Semantics are identical to K sequential make_train_step_packed calls by
+    construction: the scan body IS the packed step's graph (same
+    compute_losses, same per-step rng fold-in of the step index packed in
+    aux). Parity is asserted in tests/test_model.py::
+    test_scan_step_matches_packed_steps.
+
+    Returns train_k(params, opt_state, images_k (K,B,H,W,3) u8,
+    aux_k (K,B,W) f32, base_rng) -> (params, opt_state, loss_block (K,4)).
+    HBM staging cost: K * B * canvas bytes (K=8, B=8, 608x800 ~= 93 MB).
+    """
+    cfg = model.cfg
+    grid = anchor_grid_for(cfg, canvas_h, canvas_w)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_k(params, opt_state, images_k, aux_k, base_rng):
+        def body(carry, xs):
+            params, opt_state = carry
+            images, aux = xs
+            batch, step_idx = unpack_aux(images, aux, cfg.max_gt_boxes)
+            rng = jax.random.fold_in(base_rng, step_idx)
+            (_, losses), grads = jax.value_and_grad(
+                lambda p: compute_losses(model, p, batch, rng, cfg, grid),
+                has_aux=True,
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return (params, opt_state), jnp.stack(list(losses))
+
+        (params, opt_state), loss_block = jax.lax.scan(
+            body, (params, opt_state), (images_k, aux_k)
+        )
+        return params, opt_state, loss_block
+
+    return train_k
 
 
 # ---------------------------------------------------------------------------

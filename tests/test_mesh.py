@@ -110,6 +110,67 @@ def test_dp_step_matches_single_device(tp):
         )
 
 
+def test_scan_epoch_on_mesh_matches_single_device(monkeypatch):
+    """A K=2 scan block sharded over the dp=8 mesh (stacked (K, B, ...)
+    uploads, batch axis 1 dp-sharded, scan axis unsharded) must match the
+    same epoch on one device — the scan variant of the DP-equivalence
+    oracle above.
+
+    Tolerances: the SPMD and single-device compilations reduce in
+    different orders; the one-step DP oracle above measures that noise at
+    ~1e-8, but over multiple optimizer steps the discrete RoI/anchor
+    sampling amplifies it (see test_model.test_scan_epoch_matches_per_step
+    _epoch for the measured growth curve), so step 0 is held tight and the
+    final state gets drift-sized bounds."""
+    from fasterrcnn_tpu.config import TrainConfig
+    from fasterrcnn_tpu.data.synthetic import SyntheticDataset
+    from fasterrcnn_tpu.engine import Engine
+    from fasterrcnn_tpu.utils.stats import TrainingStatistics
+    from tests.test_model import tiny_config, CANVAS_H, CANVAS_W
+
+    monkeypatch.setenv("FRCNN_SCAN_STEPS", "2")
+
+    class RecordingStats(TrainingStatistics):
+        def __init__(self):
+            super().__init__()
+            self.rows = []
+
+        def on_training_step_values(self, row):
+            self.rows.append(np.asarray(row).copy())
+            return super().on_training_step_values(row)
+
+    def run(mesh):
+        engine = Engine(
+            tiny_config(),
+            TrainConfig(batch_size=8),
+            seed=0,
+            init_canvas=(CANVAS_H, CANVAS_W),
+            mesh=mesh,
+        )
+        data = SyntheticDataset(num_samples=16, height=120, width=150, seed=3)
+        stats = RecordingStats()
+        engine.train_epoch(data, batch_size=8, progress=False, stats=stats)
+        assert ((CANVAS_H, CANVAS_W), 2) in engine._scan_steps
+        assert not engine._packed_steps  # 2 batches = 1 block, no residue
+        return engine.params, np.stack(stats.rows)
+
+    params_one, rows_one = run(None)
+    params_dp, rows_dp = run(mesh_lib.make_mesh(8, tp=1))
+
+    assert rows_one.shape == rows_dp.shape == (2, 4)
+    # Step 0: identical params and data; only the dp psum order differs.
+    np.testing.assert_allclose(rows_one[0], rows_dp[0], rtol=0, atol=1e-5)
+    np.testing.assert_allclose(rows_one, rows_dp, rtol=0.15, atol=0.05)
+    flat_dp = {jax.tree_util.keystr(p): x for p, x in
+               jax.tree_util.tree_leaves_with_path(params_dp)}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params_one):
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_dp[key]),
+            rtol=5e-3, atol=2e-3, err_msg=key,
+        )
+
+
 def test_engine_rejects_indivisible_batch_size():
     from fasterrcnn_tpu.config import TrainConfig
     from fasterrcnn_tpu.data.synthetic import SyntheticDataset
@@ -146,6 +207,93 @@ def test_adam_trains_on_mesh():
     data = SyntheticDataset(num_samples=8, height=120, width=150, seed=0)
     stats = engine.train_epoch(data, batch_size=8, progress=False)
     assert np.isfinite(sum(stats.means().values()))
+
+
+@pytest.mark.parametrize("tp", [1, 2])
+def test_predict_on_mesh_matches_single_device(tp):
+    """Multi-device predict parity oracle (VERDICT r3 Missing #4): predict
+    has no rng, so a dp=8 mesh must reproduce the single-device detections
+    on the same batch EXACTLY. With tp=2 the megatron fc split changes the
+    fc2 reduction order (row-sharded k-dim psum), so that variant is held
+    to tight tolerances instead of bit equality."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fasterrcnn_tpu.models.faster_rcnn import (
+        FasterRCNN,
+        init_params,
+        make_predict_fn,
+    )
+    from tests.test_model import tiny_config, synthetic_batch, CANVAS_H, CANVAS_W
+
+    model = FasterRCNN(cfg=tiny_config())
+    params = init_params(model, CANVAS_H, CANVAS_W, seed=0)
+    predict = make_predict_fn(model, CANVAS_H, CANVAS_W)
+    batch = synthetic_batch(np.random.default_rng(21), b=8)
+
+    det_one = predict(
+        params, batch.images, batch.image_hw, score_threshold=0.05
+    )
+
+    mesh = mesh_lib.make_mesh(8, tp=tp)
+    params_m = jax.device_put(params, mesh_lib.param_shardings(mesh, params))
+    images_m = jax.device_put(
+        batch.images, NamedSharding(mesh, P("dp", None, None, None))
+    )
+    hw_m = jax.device_put(batch.image_hw, NamedSharding(mesh, P("dp", None)))
+    det_mesh = predict(params_m, images_m, hw_m, score_threshold=0.05)
+
+    if tp == 1:
+        np.testing.assert_array_equal(
+            np.asarray(det_one.boxes), np.asarray(det_mesh.boxes)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(det_one.scores), np.asarray(det_mesh.scores)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(det_one.valid), np.asarray(det_mesh.valid)
+        )
+    else:
+        np.testing.assert_array_equal(
+            np.asarray(det_one.valid), np.asarray(det_mesh.valid)
+        )
+        v = np.asarray(det_one.valid) > 0
+        np.testing.assert_allclose(
+            np.asarray(det_one.scores)[v],
+            np.asarray(det_mesh.scores)[v],
+            rtol=1e-5,
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(det_one.boxes)[v],
+            np.asarray(det_mesh.boxes)[v],
+            rtol=1e-4,
+            atol=1e-3,
+        )
+
+
+def test_evaluate_on_mesh_matches_single_device():
+    """Engine.evaluate on a dp=8 mesh must produce the same mAP as on a
+    single device over the same synthetic split (predict is deterministic;
+    the mAP protocol is pure host code downstream of detections)."""
+    from fasterrcnn_tpu.config import TrainConfig
+    from fasterrcnn_tpu.data.synthetic import SyntheticDataset
+    from fasterrcnn_tpu.engine import Engine
+    from tests.test_model import tiny_config, CANVAS_H, CANVAS_W
+
+    def run(mesh):
+        engine = Engine(
+            tiny_config(),
+            TrainConfig(batch_size=8),
+            seed=0,
+            init_canvas=(CANVAS_H, CANVAS_W),
+            mesh=mesh,
+        )
+        data = SyntheticDataset(num_samples=16, height=120, width=150, seed=9)
+        return engine.evaluate(data, batch_size=8, progress=False)
+
+    map_one = run(None)
+    map_dp = run(mesh_lib.make_mesh(8, tp=1))
+    assert map_one == pytest.approx(map_dp, abs=1e-9)
 
 
 def test_production_shape_compiles_on_mesh():

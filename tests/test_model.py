@@ -184,6 +184,73 @@ def test_one_trace_per_bucket_with_residues():
     assert step._cache_size() == 1  # residue reused the full-size program
 
 
+def test_scan_epoch_matches_per_step_epoch(monkeypatch):
+    """Engine.train_epoch with K-step scan blocks (FRCNN_SCAN_STEPS=2,
+    5 batches -> 2 scan blocks + 1 residue single step) must walk the same
+    trajectory as the pure per-step loop (FRCNN_SCAN_STEPS=1) on the same
+    data.
+
+    Tolerances: the scan program and the packed program are DIFFERENT XLA
+    compilations of the same graph, and on the CPU test backend their f32
+    reduction orders differ; the resulting ~1e-7 gradient noise is
+    amplified by the discrete RoI/anchor sampling into visible loss drift
+    over a few steps (measured: step rows diverge 0, 3.6e-4, 1.5e-2, ...;
+    final params 2.4e-4). Step 0 is asserted EXACT — it proves the scan
+    path feeds identical (batch, step-index, rng) tuples, which is the
+    structural claim; later steps get drift-sized tolerances. On the real
+    TPU the whole trajectory matches bitwise (probe, round 4), and the
+    single-dispatch program parity is exact in
+    test_scan_step_matches_packed_steps below."""
+    from fasterrcnn_tpu.config import TrainConfig
+    from fasterrcnn_tpu.data.synthetic import SyntheticDataset
+    from fasterrcnn_tpu.engine import Engine
+    from fasterrcnn_tpu.utils.stats import TrainingStatistics
+
+    class RecordingStats(TrainingStatistics):
+        def __init__(self):
+            super().__init__()
+            self.rows = []
+
+        def on_training_step_values(self, row):
+            self.rows.append(np.asarray(row).copy())
+            return super().on_training_step_values(row)
+
+    def run(k):
+        monkeypatch.setenv("FRCNN_SCAN_STEPS", str(k))
+        engine = Engine(
+            tiny_config(),
+            TrainConfig(batch_size=2),
+            seed=0,
+            init_canvas=(CANVAS_H, CANVAS_W),
+        )
+        data = SyntheticDataset(num_samples=10, height=120, width=150, seed=4)
+        stats = RecordingStats()
+        engine.train_epoch(data, batch_size=2, progress=False, stats=stats)
+        if k > 1:
+            assert ((CANVAS_H, CANVAS_W), k) in engine._scan_steps
+            assert (CANVAS_H, CANVAS_W) in engine._packed_steps  # residue
+        return engine.params, np.stack(stats.rows)
+
+    params_1, rows_1 = run(1)
+    params_2, rows_2 = run(2)
+    assert rows_1.shape == rows_2.shape == (5, 4)
+    # Step 0: identical params, identical inputs -> must match exactly.
+    np.testing.assert_array_equal(rows_1[0], rows_2[0])
+    # Remaining steps: same trajectory up to compilation-noise drift.
+    np.testing.assert_allclose(rows_1, rows_2, rtol=0.15, atol=0.05)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(params_1),
+        jax.tree_util.tree_leaves_with_path(params_2),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a),
+            np.asarray(b),
+            rtol=5e-3,
+            atol=2e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_predict_contract(model_and_params):
     model, params = model_and_params
     predict = make_predict_fn(model, CANVAS_H, CANVAS_W)
@@ -258,6 +325,83 @@ def test_packed_train_step_matches_batch_step(model_and_params):
     ):
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(path)
+        )
+
+
+def test_scan_step_matches_packed_steps(model_and_params):
+    """make_train_step_scan (K steps per dispatch, the production epoch
+    path) must compute exactly K sequential make_train_step_packed steps:
+    same per-step losses, same final params — the scan body IS the packed
+    step's graph, with the same per-step rng fold-in of the aux step
+    index."""
+    from fasterrcnn_tpu.config import TrainConfig
+    from fasterrcnn_tpu.engine import make_optimizer
+    from fasterrcnn_tpu.models.faster_rcnn import (
+        make_train_step_packed,
+        make_train_step_scan,
+        pack_aux,
+    )
+
+    model, params = model_and_params
+    tx, _ = make_optimizer(model.cfg, TrainConfig(), params)
+    opt0 = tx.init(params)
+    base = jax.random.key(11)
+    k = 3
+    rng = np.random.default_rng(17)
+    batches = [synthetic_batch(rng, b=2) for _ in range(k)]
+    step_indices = [4, 5, 6]
+
+    def host(batch):
+        class _HB:
+            images = np.asarray(batch.images)
+            image_hw = np.asarray(batch.image_hw)
+            gt_boxes = np.asarray(batch.gt_boxes)
+            gt_classes = np.asarray(batch.gt_classes)
+            gt_mask = np.asarray(batch.gt_mask)
+            sample_weight = np.asarray(batch.sample_weight)
+
+        return _HB
+
+    # Oracle: K sequential packed steps.
+    step_p = make_train_step_packed(model, tx, CANVAS_H, CANVAS_W)
+    p = jax.tree.map(jnp.copy, params)
+    o = jax.tree.map(jnp.copy, opt0)
+    vecs = []
+    for batch, si in zip(batches, step_indices):
+        p, o, _, vec = step_p(
+            p, o, batch.images, jnp.asarray(pack_aux(host(batch), si)), base
+        )
+        vecs.append(np.asarray(vec))
+
+    # One scan dispatch over the stacked block.
+    images_k = jnp.stack([b.images for b in batches])
+    aux_k = jnp.asarray(
+        np.stack(
+            [pack_aux(host(b), si) for b, si in zip(batches, step_indices)]
+        )
+    )
+    step_s = make_train_step_scan(model, tx, CANVAS_H, CANVAS_W, k)
+    ps, _, loss_block = step_s(
+        jax.tree.map(jnp.copy, params),
+        jax.tree.map(jnp.copy, opt0),
+        images_k,
+        aux_k,
+        base,
+    )
+
+    np.testing.assert_allclose(
+        np.stack(vecs), np.asarray(loss_block), rtol=0, atol=1e-6
+    )
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p),
+        jax.tree_util.tree_leaves_with_path(ps),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a),
+            np.asarray(b),
+            rtol=0,
+            atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
         )
 
 
