@@ -8,30 +8,38 @@ Measures THREE production paths on real hardware with honest timing:
     proposal pipeline included), with an analytic-FLOP MFU estimate,
   * the END-TO-END training epoch: `Engine.train_epoch` over an on-disk
     VOC-format dataset — JPEG decode (threaded native loader), bucketing,
-    prefetch, per-step loss stats, everything the real train loop pays.
-    Reported cold (decode every image) and warm (in-memory cache).
+    prefetch, K-step scan blocks, per-step loss stats, everything the real
+    train loop pays. Reported cold (decode every image) and warm
+    (in-memory cache), plus the epoch/step ratio (the structural claim:
+    the K-step amortized loop keeps the epoch rate tracking the isolated
+    step rate under any backend weather).
 
 Timing methodology (this environment's axon tunnel makes naive timing lie):
 `jax.block_until_ready` returns immediately without blocking, and each
-dispatch+fetch round-trip costs ~33 ms. Step measurements therefore time a
-dispatch loop terminated by a host-side scalar fetch (which genuinely
-blocks), at two iteration counts, and report the SLOPE — fixed overheads
-cancel. (Verified against a pure-matmul probe that reproduces the chip's
-~200 TFLOP/s bf16 peak.) The epoch measurement is plain wall clock around
-`train_epoch`: its trailing loss flush blocks on the last step, so the wall
-time genuinely covers all device work.
+dispatch+fetch round-trip costs 33-800 ms depending on load. Step
+measurements therefore time a dispatch loop terminated by a host-side
+scalar fetch (which genuinely blocks), at two iteration counts, and report
+the MEDIAN-of-N SLOPE — fixed overheads cancel, and the median across
+trials plus a recorded wire-latency probe (rpc_ms fields) make the number
+comparable across sessions with different backend weather. (Verified
+against a pure-matmul probe that reproduces the chip's ~200 TFLOP/s bf16
+peak.) The epoch measurement is the median of N wall-clock `train_epoch`
+runs: the trailing loss flush blocks on the last step, so the wall time
+genuinely covers all device work.
 
-Prints exactly ONE JSON line on stdout:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
-   "inference_mfu": ..., "train_images_per_sec": ..., "train_mfu": ...,
-   "epoch_images_per_sec": ..., "epoch_images_per_sec_cold": ...}
+Prints exactly ONE JSON line on stdout; keys include the headline metric,
+train/epoch rates, epoch_vs_step ratio, rpc_ms telemetry, slope spreads,
+and (BENCH_RESNET101=1, default on) a ResNet-101 inference + train-step
+row with its own analytic MFU.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
+import time
 
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -69,11 +77,86 @@ def vgg16_flops_per_image(h: int, w: int, rois: int, train: bool) -> float:
     return fwd + 2.0 * (fwd - frozen)
 
 
-def bench_epoch(engine, train_batch: int) -> dict:
-    """Wall-clock Engine.train_epoch over an on-disk VOC-format dataset."""
+def resnet_flops_per_image(
+    h: int, w: int, rois: int, train: bool, blocks=(3, 4, 23, 3)
+) -> float:
+    """Analytic FLOPs (2 * MACs) for ResNet-Faster-R-CNN (default: 101).
+
+    Mirrors models/resnet.py: backbone = conv1..layer3 (stride 16, 1024 ch,
+    reference resnet.py:38-46), head = layer4 on (RoIs, 7, 7, 1024) with
+    stride 2 -> 4x4 -> spatial mean (resnet.py:109-118). conv1 + layer1 are
+    frozen (resnet.py:48-51); BN is folded affine (free at inference,
+    negligible vs convs).
+    """
+
+    def bottleneck(hh, ww, cin, cmid, cout, downsample):
+        f = 2.0 * hh * ww * (cin * cmid + 9 * cmid * cmid + cmid * cout)
+        if downsample:
+            f += 2.0 * hh * ww * cin * cout
+        return f
+
+    def layer(hh, ww, cin, cmid, n):
+        cout = 4 * cmid
+        f = bottleneck(hh, ww, cin, cmid, cout, downsample=True)
+        for _ in range(n - 1):
+            f += bottleneck(hh, ww, cout, cmid, cout, downsample=False)
+        return f
+
+    fwd = 2.0 * (h // 2) * (w // 2) * 49 * 3 * 64  # conv1 7x7/2
+    frozen = fwd
+    l1 = layer(h // 4, w // 4, 64, 64, blocks[0])
+    fwd += l1
+    frozen += l1
+    fwd += layer(h // 8, w // 8, 256, 128, blocks[1])
+    fwd += layer(h // 16, w // 16, 512, 256, blocks[2])
+    fm_h, fm_w = h // 16, w // 16
+    # RPN head on the 1024-channel map.
+    fwd += 2.0 * fm_h * fm_w * (9 * 1024 * 1024 + 1024 * 45)
+    # RoI crop einsums at C=1024 (14x14 crop from the real feature grid).
+    fwd += 2.0 * rois * 14 * fm_h * fm_w * 1024 + 2.0 * rois * 14 * 14 * fm_w * 1024
+    # Head: layer4 over (rois, 7, 7, 1024) — first block strides to 4x4.
+    head = bottleneck(4, 4, 1024, 512, 2048, downsample=True)
+    head += (blocks[3] - 1) * bottleneck(4, 4, 2048, 512, 2048, downsample=False)
+    fwd += rois * head
+    fwd += 2.0 * rois * 2048 * (21 + 80)  # classifier/regressor heads
+    if not train:
+        return fwd
+    return fwd + 2.0 * (fwd - frozen)
+
+
+def wire_probe(n: int = 7) -> dict:
+    """Measure the backend round-trip latency: upload a scalar + fetch it,
+    n times; report per-RPC ms (half the upload+fetch pair). This is the
+    'what weather was it' field that makes cross-session numbers
+    comparable."""
+    import jax.numpy as jnp
+
+    samples = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        a = jnp.full((), float(i), jnp.float32)
+        float(a)
+        samples.append((time.perf_counter() - t0) / 2 * 1e3)
+    samples.sort()
+    return {
+        "rpc_ms": round(samples[len(samples) // 2], 1),
+        "rpc_ms_min": round(samples[0], 1),
+        "rpc_ms_max": round(samples[-1], 1),
+    }
+
+
+def median_slope_ms(dispatch, fetch, lo, hi, trials: int) -> tuple:
+    from fasterrcnn_tpu.utils.timing import slope_ms
+
+    slopes = sorted(slope_ms(dispatch, fetch, lo, hi) for _ in range(trials))
+    spread = slopes[-1] - slopes[0]
+    return slopes[len(slopes) // 2], round(spread, 2)
+
+
+def bench_epoch(engine, train_batch: int, trials: int) -> dict:
+    """Median wall-clock Engine.train_epoch over an on-disk VOC dataset."""
     import shutil
     import tempfile
-    import time
 
     from fasterrcnn_tpu.data.synthetic_voc import generate_voc_dataset
     from fasterrcnn_tpu.data.voc import Dataset
@@ -97,7 +180,7 @@ def bench_epoch(engine, train_batch: int) -> dict:
                 cache=cache, seed=1,
             )
 
-        # Warm-up: trigger the (608, 800) train-step compile outside timing.
+        # Warm-up: trigger the (608, 800) scan-step compile outside timing.
         engine.train_epoch(
             make_ds(cache=False), train_batch, progress=False, max_steps=2
         )
@@ -105,19 +188,27 @@ def bench_epoch(engine, train_batch: int) -> dict:
         ds = make_ds(cache=True)
         t0 = time.perf_counter()
         engine.train_epoch(ds, train_batch, progress=False)
-        t1 = time.perf_counter()  # cold: every JPEG decoded this epoch
-        engine.train_epoch(ds, train_batch, progress=False)
-        t2 = time.perf_counter()  # warm: all images from the in-memory cache
+        t_cold = time.perf_counter() - t0  # every JPEG decoded this epoch
+        warm = []
+        for _ in range(trials):
+            t1 = time.perf_counter()
+            engine.train_epoch(ds, train_batch, progress=False)
+            warm.append(time.perf_counter() - t1)
         return {
-            "epoch_images_per_sec": round(n / (t2 - t1), 2),
-            "epoch_images_per_sec_cold": round(n / (t1 - t0), 2),
+            "epoch_images_per_sec": round(n / statistics.median(warm), 2),
+            "epoch_images_per_sec_cold": round(n / t_cold, 2),
             "epoch_images": n,
+            "epoch_trials": trials,
+            "epoch_spread_sec": round(max(warm) - min(warm), 2),
+            "scan_steps": int(os.environ.get("FRCNN_SCAN_STEPS", "8")),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def main():
+def bench_model(backbone: str, batch_size: int, train_batch: int,
+                lo: int, hi: int, trials: int, run_epoch: bool,
+                epoch_trials: int) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -126,14 +217,7 @@ def main():
     from fasterrcnn_tpu.engine import Engine
     from fasterrcnn_tpu.models.faster_rcnn import Batch
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
-    train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
     canvas_h, canvas_w = 608, 800
-    lo = int(os.environ.get("BENCH_ITERS_LO", "5"))
-    hi = int(os.environ.get("BENCH_ITERS_HI", "20"))
-    backbone = os.environ.get("BENCH_BACKBONE", "vgg16")
-    run_epoch = os.environ.get("BENCH_EPOCH", "1") != "0"
-
     cfg = ModelConfig(backbone=backbone, compute_dtype="bfloat16")
     engine = Engine(cfg, TrainConfig(), seed=0, init_canvas=(canvas_h, canvas_w))
     params = engine.params
@@ -147,8 +231,6 @@ def main():
         jnp.asarray([[600.0, 800.0]], jnp.float32), (batch_size, 1)
     )
 
-    from fasterrcnn_tpu.utils.timing import slope_ms
-
     last = {}
 
     def infer_dispatch():
@@ -160,16 +242,26 @@ def main():
 
     infer_dispatch()
     infer_fetch()  # compile + warm
-    images_per_sec = batch_size / (slope_ms(infer_dispatch, infer_fetch, lo, hi) / 1e3)
-    # Analytic FLOP model covers the flagship VGG-16 only.
-    has_mfu = backbone == "vgg16"
-    infer_flops = vgg16_flops_per_image(
-        canvas_h, canvas_w, cfg.rpn.post_nms_infer, train=False
+    infer_slope, infer_spread = median_slope_ms(
+        infer_dispatch, infer_fetch, lo, hi, trials
     )
-    infer_mfu = images_per_sec * infer_flops / PEAK_BF16_FLOPS if has_mfu else None
+    images_per_sec = batch_size / (infer_slope / 1e3)
+
+    flops_fn = {
+        "vgg16": vgg16_flops_per_image,
+        "resnet101": resnet_flops_per_image,
+    }.get(backbone)
+    infer_mfu = None
+    if flops_fn is not None:
+        infer_flops = flops_fn(
+            canvas_h, canvas_w, cfg.rpn.post_nms_infer, train=False
+        )
+        infer_mfu = images_per_sec * infer_flops / PEAK_BF16_FLOPS
 
     # ---- end-to-end training epoch (shares the engine's compiled step) ----
-    epoch_record = bench_epoch(engine, train_batch) if run_epoch else {}
+    epoch_record = (
+        bench_epoch(engine, train_batch, epoch_trials) if run_epoch else {}
+    )
 
     # ---- isolated train step (donates the engine's state; runs last) ----
     step = engine.train_step_for((canvas_h, canvas_w))
@@ -203,29 +295,78 @@ def main():
 
     train_dispatch()
     train_fetch()  # compile + warm
-    train_images_per_sec = train_batch / (
-        slope_ms(train_dispatch, train_fetch, lo, hi) / 1e3
+    train_slope, train_spread = median_slope_ms(
+        train_dispatch, train_fetch, lo, hi, trials
     )
-    train_flops = vgg16_flops_per_image(
-        canvas_h, canvas_w, cfg.detector.proposal_batch_size, train=True
-    )
-    train_mfu = (
-        train_images_per_sec * train_flops / PEAK_BF16_FLOPS if has_mfu else None
-    )
+    train_images_per_sec = train_batch / (train_slope / 1e3)
+    train_mfu = None
+    if flops_fn is not None:
+        train_flops = flops_fn(
+            canvas_h, canvas_w, cfg.detector.proposal_batch_size, train=True
+        )
+        train_mfu = train_images_per_sec * train_flops / PEAK_BF16_FLOPS
 
     record = {
-        "metric": "%s FasterRCNN batched inference (608x800, bs=%d, bf16)"
-        % (backbone.upper(), batch_size),
         "value": round(images_per_sec, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
+        "infer_slope_spread_ms": infer_spread,
         "train_images_per_sec": round(train_images_per_sec, 2),
+        "train_slope_spread_ms": train_spread,
         "train_batch": train_batch,
     }
     record.update(epoch_record)
-    if has_mfu:
+    if "epoch_images_per_sec" in record:
+        record["epoch_vs_step"] = round(
+            record["epoch_images_per_sec"] / train_images_per_sec, 3
+        )
+    if infer_mfu is not None:
         record["inference_mfu"] = round(infer_mfu, 4)
         record["train_mfu"] = round(train_mfu, 4)
+    return record
+
+
+def main():
+    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+    train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
+    lo = int(os.environ.get("BENCH_ITERS_LO", "5"))
+    hi = int(os.environ.get("BENCH_ITERS_HI", "20"))
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    epoch_trials = int(os.environ.get("BENCH_EPOCH_TRIALS", "3"))
+    backbone = os.environ.get("BENCH_BACKBONE", "vgg16")
+    run_epoch = os.environ.get("BENCH_EPOCH", "1") != "0"
+    run_resnet = os.environ.get("BENCH_RESNET101", "1") != "0"
+
+    probe_start = wire_probe()
+    flagship = bench_model(
+        backbone, batch_size, train_batch, lo, hi, trials, run_epoch,
+        epoch_trials,
+    )
+    record = {
+        "metric": "%s FasterRCNN batched inference (608x800, bs=%d, bf16)"
+        % (backbone.upper(), batch_size),
+        "value": flagship.pop("value"),
+        "unit": "images/sec/chip",
+    }
+    record["vs_baseline"] = round(record["value"] / BASELINE_IMAGES_PER_SEC, 3)
+    record.update(flagship)
+    record.update(probe_start)
+
+    # ResNet-101 row (the accuracy flagship, 76.2% mAP reference bar):
+    # inference + isolated train step, no epoch (VERDICT r3 Next #2).
+    if run_resnet and backbone != "resnet101":
+        try:
+            r = bench_model(
+                "resnet101", batch_size, train_batch, lo, hi, trials,
+                run_epoch=False, epoch_trials=0,
+            )
+            record["resnet101_images_per_sec"] = r["value"]
+            record["resnet101_train_images_per_sec"] = r["train_images_per_sec"]
+            record["resnet101_inference_mfu"] = r.get("inference_mfu")
+            record["resnet101_train_mfu"] = r.get("train_mfu")
+        except Exception as e:  # never lose the flagship line to this row
+            record["resnet101_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    probe_end = wire_probe()
+    record["rpc_ms_end"] = probe_end["rpc_ms"]
     print(json.dumps(record))
 
 

@@ -75,6 +75,12 @@ def main():
     p.add_argument("--learning-rate", type=float, default=1e-3)
     p.add_argument("--threshold", type=float, default=80.0,
                    help="Required held-out mAP (%%)")
+    p.add_argument("--run-seed", type=int, default=0,
+                   help="Training-rng seed offset: phase seeds are "
+                        "run_seed*2 and run_seed*2+1, so independent runs "
+                        "sample independent minibatches/dropout (a second "
+                        "seed strengthens the single-seed margin, VERDICT "
+                        "r3 Weak #2)")
     p.add_argument("--no-record", action="store_true",
                    help="Skip writing PRODSHAPE_PROXY.json")
     args = p.parse_args()
@@ -115,10 +121,14 @@ def main():
         # long phase at lr, short phase at lr/10 with weights reloaded (and
         # therefore a fresh optimizer — the README.md:231-256 resume rule).
         t0 = time.time()
-        train_phase(args.epochs, args.learning_rate, None, weights, seed=0)
+        train_phase(
+            args.epochs, args.learning_rate, None, weights,
+            seed=args.run_seed * 2,
+        )
         if args.epochs2:
             train_phase(
-                args.epochs2, args.learning_rate / 10, weights, weights, seed=1
+                args.epochs2, args.learning_rate / 10, weights, weights,
+                seed=args.run_seed * 2 + 1,
             )
         train_seconds = time.time() - t0
 
@@ -146,6 +156,7 @@ def main():
             "schedule": "two-phase (lr, lr/10), fresh optimizer at reload",
             "batch_size": args.batch_size,
             "backbone": args.backbone,
+            "run_seed": args.run_seed,
             "canvas": "608x800 (standard bucket; full anchor pyramid, "
                       "12000->2000 train caps, bf16)",
             "train_wall_seconds": round(train_seconds, 1),
@@ -153,8 +164,21 @@ def main():
         }
         print(json.dumps(record))
         if not args.no_record:
-            with open(os.path.join(REPO, "PRODSHAPE_PROXY.json"), "w") as f:
-                json.dump(record, f, indent=2)
+            # PRODSHAPE_PROXY.json holds per-backbone lists of run records
+            # (one per seed), so vgg16/resnet evidence accumulates instead
+            # of overwriting. A legacy flat record (round 3) is migrated.
+            path = os.path.join(REPO, "PRODSHAPE_PROXY.json")
+            runs = {}
+            if os.path.exists(path):
+                with open(path) as f:
+                    old = json.load(f)
+                if "backbone" in old:  # legacy single-record format
+                    runs = {old["backbone"]: [dict(old, run_seed=0)]}
+                else:
+                    runs = old
+            runs.setdefault(args.backbone, []).append(record)
+            with open(path, "w") as f:
+                json.dump(runs, f, indent=2)
                 f.write("\n")
         if not record["passed"]:
             raise SystemExit(
