@@ -99,9 +99,26 @@ def load_image(
       and original_shape is (3, orig_h, orig_w) matching the reference's
       return convention (image.py:101).
     """
+    if isinstance(url, str) and url.startswith(("http://", "https://")):
+        # The reference's predict_one accepts URLs (imageio fetch,
+        # pytorch __main__.py:237-240, datasets/image.py:59). Fetch the
+        # bytes and fall through to the PIL decode path.
+        import io
+        import urllib.request
+
+        with urllib.request.urlopen(url) as resp:
+            data = resp.read()
+        return load_image(
+            io.BytesIO(data),
+            min_dimension_pixels=min_dimension_pixels,
+            horizontal_flip=horizontal_flip,
+            use_native=False,
+            max_dimension_pixels=max_dimension_pixels,
+        )
     if (
         use_native
         and min_dimension_pixels
+        and isinstance(url, str)
         and os.path.isfile(url)
         and url.lower().endswith((".jpg", ".jpeg"))
     ):

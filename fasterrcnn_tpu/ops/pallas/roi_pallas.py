@@ -33,7 +33,11 @@ Two kernels live here:
     B=32/P=300/38x50x512 bf16. A custom VJP (_roi_taps_bwd_kernel) makes it
     differentiable wrt the feature map: the backward kernel recomputes the
     row stage, splits the output cotangent across the 2x2 max-pool argmax
-    window (equal split among ties, matching jnp reduce_max semantics),
+    window (a flat equal split among all ties — a valid mass-preserving
+    subgradient that agrees with jnp reduce_max's hierarchical split except
+    on partial ties, e.g. 3-way: 1/3 each vs 1/4,1/4,1/2; both subgradients
+    train identically and ties only arise for degenerate RoIs with
+    coincident samples),
     scatters it through the two bilinear x-taps into a row-cotangent
     scratch, and contracts back to the feature map with the transposed
     y-weight sheet. RoIs/norm receive zero cotangent by definition —
