@@ -206,6 +206,34 @@ def bench_epoch(engine, train_batch: int, trials: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def scene_host_batch(n: int, max_gt: int):
+    """One HostBatch of synthetic-VOC scene images through the real data
+    pipeline. The isolated step and inference must see the SAME data
+    distribution as the epoch: greedy-NMS trip counts are data-dependent,
+    and round 4 measured a 4.5x train-step split between uint8-noise and
+    scene inputs on the pre-fix kernel — noise-fed step benchmarks made
+    epoch_vs_step incomparable."""
+    import shutil
+    import tempfile
+
+    from fasterrcnn_tpu.data.pipeline import batched
+    from fasterrcnn_tpu.data.synthetic_voc import generate_voc_dataset
+    from fasterrcnn_tpu.data.voc import Dataset
+
+    root = tempfile.mkdtemp(prefix="bench_scene_")
+    try:
+        generate_voc_dataset(
+            root, {"trainval": n}, image_sizes=((375, 500),), seed=7
+        )
+        ds = Dataset(
+            split="trainval", dir=root, augment=False, shuffle=False,
+            cache=False, seed=1,
+        )
+        return next(iter(batched(iter(ds), n, max_gt)))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_model(backbone: str, batch_size: int, train_batch: int,
                 lo: int, hi: int, trials: int, run_epoch: bool,
                 epoch_trials: int) -> dict:
@@ -223,13 +251,9 @@ def bench_model(backbone: str, batch_size: int, train_batch: int,
     params = engine.params
     predict = engine.predict_fn_for((canvas_h, canvas_w))
 
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.integers(0, 255, (batch_size, canvas_h, canvas_w, 3), dtype=np.uint8)
-    )
-    image_hw = jnp.tile(
-        jnp.asarray([[600.0, 800.0]], jnp.float32), (batch_size, 1)
-    )
+    hb = scene_host_batch(max(batch_size, train_batch), cfg.max_gt_boxes)
+    images = jnp.asarray(hb.images[:batch_size])
+    image_hw = jnp.asarray(hb.image_hw[:batch_size])
 
     last = {}
 
@@ -265,19 +289,13 @@ def bench_model(backbone: str, batch_size: int, train_batch: int,
 
     # ---- isolated train step (donates the engine's state; runs last) ----
     step = engine.train_step_for((canvas_h, canvas_w))
-    g = cfg.max_gt_boxes
     batch = Batch(
-        images=jnp.asarray(
-            rng.integers(0, 255, (train_batch, canvas_h, canvas_w, 3), dtype=np.uint8)
-        ),
-        image_hw=jnp.tile(jnp.asarray([[600.0, 800.0]], jnp.float32), (train_batch, 1)),
-        gt_boxes=jnp.tile(
-            jnp.asarray([[[100.0, 100.0, 400.0, 500.0]] + [[0.0] * 4] * (g - 1)]),
-            (train_batch, 1, 1),
-        ).astype(jnp.float32),
-        gt_classes=jnp.tile(jnp.asarray([[5] + [0] * (g - 1)], jnp.int32), (train_batch, 1)),
-        gt_mask=jnp.tile(jnp.asarray([[1.0] + [0.0] * (g - 1)], jnp.float32), (train_batch, 1)),
-        sample_weight=jnp.ones((train_batch,), jnp.float32),
+        images=jnp.asarray(hb.images[:train_batch]),
+        image_hw=jnp.asarray(hb.image_hw[:train_batch]),
+        gt_boxes=jnp.asarray(hb.gt_boxes[:train_batch]),
+        gt_classes=jnp.asarray(hb.gt_classes[:train_batch]),
+        gt_mask=jnp.asarray(hb.gt_mask[:train_batch]),
+        sample_weight=jnp.asarray(hb.sample_weight[:train_batch]),
     )
     key = jax.random.key(0)
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import os
 import re
+import sys
+import time
 from typing import Dict, Iterable, Optional, Tuple
 
 import jax
@@ -372,11 +374,29 @@ class Engine:
                 consume(pending_block)
             pending_block = block
 
+        # FRCNN_EPOCH_TRACE=1 prints a phase breakdown to stderr: time the
+        # main thread spends WAITING for staged batches (prefetch-thread
+        # bound: host assembly + upload), time inside dispatch calls (one
+        # execute RPC each), and the final drain (blocks until the chip
+        # finishes the tail). This is the tool that separates "epoch is
+        # slow because the loop stalls on the wire" from "epoch is slow
+        # because staging can't keep up with the chip".
+        trace = os.environ.get("FRCNN_EPOCH_TRACE") == "1"
+        t_wait = t_dispatch = 0.0
+        t_begin = time.perf_counter()
         steps_done = 0
         try:
-            for kind, canvas_hw, images, aux, n in batches:
+            it = iter(batches)
+            while True:
+                t0 = time.perf_counter()
+                try:
+                    kind, canvas_hw, images, aux, n = next(it)
+                except StopIteration:
+                    break
+                t_wait += time.perf_counter() - t0
                 if max_steps is not None and steps_done >= max_steps:
                     break
+                t0 = time.perf_counter()
                 if kind == "scan":
                     step = self.scan_step_for(canvas_hw, n)
                     self.params, self.opt_state, loss_block = step(
@@ -389,6 +409,7 @@ class Engine:
                         self.params, self.opt_state, images, aux, self._rng
                     )
                     buf.append(loss_vec[None])
+                t_dispatch += time.perf_counter() - t0
                 self._global_step += n
                 steps_done += n
                 buf_rows += n
@@ -396,9 +417,22 @@ class Engine:
                     bar.update(n)
                 if buf_rows >= flush_every:
                     flush()
+            t0 = time.perf_counter()
             flush()
             if pending_block is not None:
                 consume(pending_block)
+            if trace:
+                t_drain = time.perf_counter() - t0
+                total = time.perf_counter() - t_begin
+                print(
+                    f"[epoch-trace] steps={steps_done} total={total:.3f}s "
+                    f"wait-for-staging={t_wait:.3f}s "
+                    f"dispatch-calls={t_dispatch:.3f}s "
+                    f"final-drain={t_drain:.3f}s "
+                    f"other={total - t_wait - t_dispatch - t_drain:.3f}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
         finally:
             batches.close()
             if bar is not None:
