@@ -161,7 +161,11 @@ def bench_epoch(engine, train_batch: int, trials: int) -> dict:
     from fasterrcnn_tpu.data.synthetic_voc import generate_voc_dataset
     from fasterrcnn_tpu.data.voc import Dataset
 
-    n = int(os.environ.get("BENCH_EPOCH_IMAGES", "128"))
+    # 384 images = 48 steps at bs=8: long enough that the one-time staging
+    # ramp (the first scan block must be assembled+uploaded before the
+    # first dispatch, ~0.7 s) amortizes; at 128 images it alone capped
+    # epoch_vs_step near 0.6.
+    n = int(os.environ.get("BENCH_EPOCH_IMAGES", "384"))
     root = tempfile.mkdtemp(prefix="bench_voc_")
     try:
         voc_dir = os.path.join(root, "VOC2007")
