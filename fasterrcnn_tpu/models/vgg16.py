@@ -16,14 +16,48 @@ for Caffe `vgg16_caffe.pth` / Bart-Keras h5 checkpoints (utils/checkpoint.py).
 
 from __future__ import annotations
 
+import os
+
 import jax
 from flax import linen as nn
 import jax.numpy as jnp
 
 from fasterrcnn_tpu.data.image import CAFFE_BGR
 from fasterrcnn_tpu.models.backbone import BackboneSpec, register_backbone
+from fasterrcnn_tpu.ops.conv_s2d import (
+    conv3x3_s2dw_packed,
+    maxpool2x2_packed,
+    pack_width,
+)
 
 _BLOCKS = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
+
+
+class _PackedConv3x3(nn.Module):
+    """3x3 SAME conv+ReLU computed in the width-packed layout
+    (ops/conv_s2d.py). Parameter names/shapes/initializers are identical
+    to the nn.Conv it replaces — `kernel` (3, 3, Cin, Cout) HWIO,
+    lecun-normal; `bias` (Cout,), zeros — so checkpoints, weight importers
+    and the frozen-pattern masks are unaffected by which path runs."""
+
+    features: int
+    in_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        return conv3x3_s2dw_packed(
+            xp.astype(self.dtype), kernel.astype(self.dtype), bias, relu=True
+        )
 
 
 class VGG16FeatureExtractor(nn.Module):
@@ -34,7 +68,32 @@ class VGG16FeatureExtractor(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dtype = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        # Block 1 runs in the width-packed layout (ops/conv_s2d.py): at
+        # C=3/64 the direct convs fill at most half the MXU's contraction
+        # depth and half its output lanes (hardware A/B: conv1_1 at 0.9%
+        # MFU, conv1_2 at 21% — together ~1/3 of the backbone's time for
+        # 12% of its FLOPs). Packing width pairs into lanes costs 2x the
+        # padded FLOPs but lifts both layers ~1.6-2x measured (7.7->3.8,
+        # 6.9->4.5 ms at bs=8 608x800); pack happens once at the image,
+        # pool1 consumes the packed layout directly, and blocks 2+ (where
+        # the direct conv wins) run unchanged. Same params, same math —
+        # scripts/profile_conv.py carries the per-layer numbers.
+        packed_b1 = (
+            os.environ.get("FRCNN_PACKED_BLOCK1", "1") != "0"
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        )
         for block_idx, (num_convs, channels) in enumerate(_BLOCKS):
+            if block_idx == 0 and packed_b1:
+                xp = pack_width(x.astype(dtype))
+                xp = _PackedConv3x3(
+                    channels, x.shape[-1], dtype, name="block1_conv1"
+                )(xp)
+                xp = _PackedConv3x3(
+                    channels, channels, dtype, name="block1_conv2"
+                )(xp)
+                x = maxpool2x2_packed(xp)
+                continue
             for conv_idx in range(num_convs):
                 x = nn.Conv(
                     channels,
