@@ -71,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Gradient norm clipping (tf2 parity)")
     parser.add_argument("--beta1", metavar="value", type=float, default=0.9)
     parser.add_argument("--beta2", metavar="value", type=float, default=0.999)
+    parser.add_argument("--train-all", action="store_true",
+                        help="Train every parameter (from-scratch mode): "
+                             "disable the backbone freeze patterns, which "
+                             "exist to protect pretrained weights the box "
+                             "may not have; fresh ResNets also zero-init "
+                             "each bottleneck's final BN scale")
     parser.add_argument("--no-augment", action="store_true",
                         help="Disable random horizontal flips during training")
     parser.add_argument("--exclude-edge-proposals", action="store_true",
@@ -177,6 +183,7 @@ def main(argv=None):
             ),
             max_gt_boxes=8,
             roi_mode="exact_pool" if options.custom_roi_pool else "crop",
+            train_all=options.train_all,
         )
     else:
         model_cfg = ModelConfig(
@@ -185,6 +192,7 @@ def main(argv=None):
             compute_dtype=options.compute_dtype,
             detector=DetectorConfig(dropout=options.dropout),
             roi_mode="exact_pool" if options.custom_roi_pool else "crop",
+            train_all=options.train_all,
         )
     train_cfg = TrainConfig(
         learning_rate=options.learning_rate,

@@ -93,6 +93,15 @@ class ModelConfig:
     # RoIPool quantization (pytorch tree / tf2 --custom-roi-pool,
     # roi_pooling_layer.py) for parity with RoIPool-trained checkpoints.
     roi_mode: str = "crop"
+    # From-scratch mode: train every parameter. The reference's freeze
+    # patterns (VGG blocks 1-2, vgg16.py:49-58; ResNet conv1/bn1/layer1 and
+    # all BN affines, resnet.py:48-77) exist to protect ImageNet-pretrained
+    # weights — with random initialization they would freeze noise. When
+    # True the optimizer masks and backward stop_gradient cuts are disabled,
+    # and fresh ResNets zero-init each bottleneck's final BN scale so the
+    # residual branches open gradually (the standard from-scratch deep-ResNet
+    # initialization). No effect on checkpoint structure or imports.
+    train_all: bool = False
 
     @property
     def compute_jnp_dtype(self):

@@ -65,7 +65,9 @@ def _param_labels(params, frozen_patterns: Tuple[str, ...]):
 
 def make_optimizer(model_cfg: ModelConfig, train_cfg: TrainConfig, params):
     spec = get_backbone(model_cfg.backbone)
-    labels = _param_labels(params, spec.frozen_param_patterns)
+    # From-scratch mode: no pretrained weights to protect, so nothing frozen.
+    patterns = () if model_cfg.train_all else spec.frozen_param_patterns
+    labels = _param_labels(params, patterns)
 
     def base_opt(weight_decay: float):
         steps = []

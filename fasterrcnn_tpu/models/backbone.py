@@ -29,8 +29,11 @@ class BackboneSpec:
     # floor (VGG, vgg16.py:155-158) vs ceil (ResNet, resnet.py:161-185)
     # feature-map extent for a given image extent.
     fm_ceil_mode: bool
-    make_feature_extractor: Callable[[str], nn.Module]  # arg: compute dtype
-    make_head: Callable[[str, float], nn.Module]  # args: dtype, dropout
+    # Factories receive (dtype, freeze) / (dtype, dropout, freeze); freeze
+    # is False in from-scratch mode (ModelConfig.train_all), which lifts the
+    # stop_gradient backward cuts and from-scratch-unfriendly initializers.
+    make_feature_extractor: Callable[[str, bool], nn.Module]
+    make_head: Callable[[str, float, bool], nn.Module]
     # Regex patterns of parameter paths frozen during training (reference
     # freezes VGG blocks 1-2, vgg16.py:49-58; ResNet conv1/bn1/layer1 and all
     # BN affines, resnet.py:48-77).

@@ -92,11 +92,12 @@ class FasterRCNN(nn.Module):
     def setup(self):
         spec = get_backbone(self.cfg.backbone)
         dtype = self.cfg.compute_dtype
-        self.feature_extractor = spec.make_feature_extractor(dtype)
+        freeze = not self.cfg.train_all
+        self.feature_extractor = spec.make_feature_extractor(dtype, freeze)
         self.rpn_head = RPNHead(
             num_anchors=self.cfg.anchors.num_anchors, dtype=dtype
         )
-        self.roi_head = spec.make_head(dtype, self.cfg.detector.dropout)
+        self.roi_head = spec.make_head(dtype, self.cfg.detector.dropout, freeze)
         self.detector_heads = DetectorHeads(self.cfg.num_classes, dtype)
 
     def features_and_rpn(self, images_u8: jnp.ndarray):

@@ -22,7 +22,7 @@ TPU-first:
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import jax
 from flax import linen as nn
@@ -43,14 +43,18 @@ class FrozenBatchNorm(nn.Module):
     """Per-channel affine y = x * scale + bias.
 
     scale/bias are precomputed at weight import as gamma/sqrt(var+eps) and
-    beta - mean*scale; fresh initialization is identity. Both params appear
-    in frozen_param_patterns so the optimizer never touches them.
+    beta - mean*scale; fresh initialization is identity (or zero scale for
+    each bottleneck's final BN in from-scratch mode — see Bottleneck). Both
+    params appear in frozen_param_patterns so the optimizer never touches
+    them unless ModelConfig.train_all lifts the freeze.
     """
+
+    scale_init: Callable = nn.initializers.ones
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        scale = self.param("scale", self.scale_init, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         return x * scale.astype(x.dtype) + bias.astype(x.dtype)
 
@@ -61,6 +65,7 @@ class Bottleneck(nn.Module):
     channels: int  # bottleneck width; output is channels * 4
     stride: int = 1
     dtype: str = "float32"
+    freeze: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -83,7 +88,15 @@ class Bottleneck(nn.Module):
         y = FrozenBatchNorm(name="bn2")(y)
         y = nn.relu(y)
         y = nn.Conv(out_channels, (1, 1), name="conv3", **conv_kwargs)(y)
-        y = FrozenBatchNorm(name="bn3")(y)
+        # From-scratch (freeze=False): zero-init the final BN scale so every
+        # residual branch starts closed and the net behaves like a shallow
+        # one at init (Goyal et al. 2017) — without this a fresh 101-layer
+        # stack with affine-only "BN" trains impractically slowly. Imported
+        # weights overwrite the init, so pretrained paths are unaffected.
+        bn3_scale_init = (
+            nn.initializers.ones if self.freeze else nn.initializers.zeros
+        )
+        y = FrozenBatchNorm(name="bn3", scale_init=bn3_scale_init)(y)
 
         if residual.shape[-1] != out_channels or self.stride != 1:
             residual = nn.Conv(
@@ -102,6 +115,7 @@ class ResNetStage(nn.Module):
     channels: int
     stride: int
     dtype: str = "float32"
+    freeze: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -110,6 +124,7 @@ class ResNetStage(nn.Module):
                 channels=self.channels,
                 stride=self.stride if i == 0 else 1,
                 dtype=self.dtype,
+                freeze=self.freeze,
                 name=f"block{i}",
             )(x)
         return x
@@ -120,6 +135,7 @@ class ResNetFeatureExtractor(nn.Module):
 
     blocks: Sequence[int]
     dtype: str = "float32"
+    freeze: bool = True  # False in from-scratch mode (ModelConfig.train_all)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -141,13 +157,21 @@ class ResNetFeatureExtractor(nn.Module):
             x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf
         )
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
-        x = ResNetStage(self.blocks[0], 64, 1, self.dtype, name="layer1")(x)
-        # conv1/bn1/layer1 are frozen (reference requires_grad=False,
-        # resnet.py:48-51); cutting the gradient here lets XLA skip their
-        # backward pass entirely (the optimizer mask already zeroes updates).
-        x = jax.lax.stop_gradient(x)
-        x = ResNetStage(self.blocks[1], 128, 2, self.dtype, name="layer2")(x)
-        x = ResNetStage(self.blocks[2], 256, 2, self.dtype, name="layer3")(x)
+        x = ResNetStage(
+            self.blocks[0], 64, 1, self.dtype, self.freeze, name="layer1"
+        )(x)
+        if self.freeze:
+            # conv1/bn1/layer1 are frozen (reference requires_grad=False,
+            # resnet.py:48-51); cutting the gradient here lets XLA skip their
+            # backward pass entirely (the optimizer mask already zeroes
+            # updates). Lifted in from-scratch mode (ModelConfig.train_all).
+            x = jax.lax.stop_gradient(x)
+        x = ResNetStage(
+            self.blocks[1], 128, 2, self.dtype, self.freeze, name="layer2"
+        )(x)
+        x = ResNetStage(
+            self.blocks[2], 256, 2, self.dtype, self.freeze, name="layer3"
+        )(x)
         return x
 
 
@@ -158,10 +182,13 @@ class ResNetHead(nn.Module):
     blocks: Sequence[int]
     dtype: str = "float32"
     dropout: float = 0.0  # unused; ResNet head has no dropout (parity)
+    freeze: bool = True
 
     @nn.compact
     def __call__(self, rois: jnp.ndarray, *, deterministic: bool = True):
-        x = ResNetStage(self.blocks[3], 512, 2, self.dtype, name="layer4")(rois)
+        x = ResNetStage(
+            self.blocks[3], 512, 2, self.dtype, self.freeze, name="layer4"
+        )(rois)
         return x.mean(axis=(1, 2))
 
 
@@ -174,10 +201,12 @@ def _make_spec(arch: str) -> BackboneSpec:
         feature_vector_size=2048,
         preprocessing=TORCHVISION_RGB,
         fm_ceil_mode=True,
-        make_feature_extractor=lambda dtype: ResNetFeatureExtractor(
-            blocks=blocks, dtype=dtype
+        make_feature_extractor=lambda dtype, freeze=True: ResNetFeatureExtractor(
+            blocks=blocks, dtype=dtype, freeze=freeze
         ),
-        make_head=lambda dtype, dropout: ResNetHead(blocks=blocks, dtype=dtype),
+        make_head=lambda dtype, dropout, freeze=True: ResNetHead(
+            blocks=blocks, dtype=dtype, freeze=freeze
+        ),
         frozen_param_patterns=(
             r".*feature_extractor/conv1.*",
             r".*feature_extractor/bn1.*",

@@ -64,6 +64,7 @@ class VGG16FeatureExtractor(nn.Module):
     """conv1_1..conv5_3; pools after blocks 1-4 only (stride-16 output)."""
 
     dtype: str = "float32"
+    freeze: bool = True  # False in from-scratch mode (ModelConfig.train_all)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -106,7 +107,7 @@ class VGG16FeatureExtractor(nn.Module):
                 x = nn.relu(x)
             if block_idx < 4:  # no pool after block 5
                 x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
-            if block_idx == 1:
+            if block_idx == 1 and self.freeze:
                 # Blocks 1-2 are frozen (reference requires_grad=False,
                 # vgg16.py:49-58). The optimizer mask already zeroes their
                 # updates; cutting the gradient here additionally lets XLA
@@ -148,8 +149,12 @@ def _make_spec() -> BackboneSpec:
         feature_vector_size=4096,
         preprocessing=CAFFE_BGR,
         fm_ceil_mode=False,
-        make_feature_extractor=lambda dtype: VGG16FeatureExtractor(dtype=dtype),
-        make_head=lambda dtype, dropout: VGG16Head(dtype=dtype, dropout=dropout),
+        make_feature_extractor=lambda dtype, freeze=True: VGG16FeatureExtractor(
+            dtype=dtype, freeze=freeze
+        ),
+        make_head=lambda dtype, dropout, freeze=True: VGG16Head(
+            dtype=dtype, dropout=dropout
+        ),
         frozen_param_patterns=(r".*block1_conv.*", r".*block2_conv.*"),
     )
 

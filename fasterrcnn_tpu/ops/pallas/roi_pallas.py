@@ -419,6 +419,33 @@ def roi_pool_taps_pallas_bwd(
     p = rois.shape[1]
     assert crop_size == 2 * out_size, (crop_size, out_size)
     assert c % 128 == 0, f"channels {c} must be a multiple of 128"
+    if c > 512 and chunk <= 0:
+        # Channel-tile wide feature maps into <=512-channel slices and run
+        # the kernel per tile. The kernel is per-channel independent, so
+        # this is exact; it exists because the C=1024 (ResNet) whole-width
+        # call is at the mercy of Mosaic's scoped-vmem accounting: at
+        # production shapes (38x50, P=128) the same chunk-1 program
+        # compiled at <=16 MB inside one train graph but was accounted
+        # 28.16M (full block double-buffering) inside another (r4: the
+        # --train-all ResNet-101 step), an OOM. At 512 channels the
+        # worst-case fully-double-buffered footprint is ~14 MB — safe under
+        # either accounting. Cost: one extra HBM pass over fm/g/gfm for the
+        # slices (~0.5 ms against the ~4 ms kernel at these shapes).
+        ct = max(t for t in range(128, 513, 128) if c % t == 0)
+        parts = [
+            roi_pool_taps_pallas_bwd(
+                feature_map[..., i : i + ct],
+                rois,
+                norm,
+                g[..., i : i + ct],
+                crop_size,
+                out_size,
+                interpret,
+                chunk,
+            )
+            for i in range(0, c, ct)
+        ]
+        return jnp.concatenate(parts, axis=-1)
     itemsize = feature_map.dtype.itemsize
     if chunk <= 0:
         # Fixed residents: fm block + f32 gfm out block + the f32 transient

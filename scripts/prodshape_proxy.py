@@ -81,6 +81,13 @@ def main():
                         "sample independent minibatches/dropout (a second "
                         "seed strengthens the single-seed margin, VERDICT "
                         "r3 Weak #2)")
+    p.add_argument("--train-all", action="store_true",
+                   help="Pass --train-all (from-scratch mode) to the train "
+                        "phases. Required for ResNet proxies: the production "
+                        "freeze (conv1/bn1/layer1 + all BN affines) assumes "
+                        "ImageNet weights, which this box cannot fetch — "
+                        "with random init a frozen stem caps what the proxy "
+                        "can learn (r4: 15.06%% after 28 epochs frozen)")
     p.add_argument("--no-record", action="store_true",
                    help="Skip writing PRODSHAPE_PROXY.json")
     args = p.parse_args()
@@ -113,6 +120,8 @@ def main():
                 "--save-to", save,
                 "--seed", str(seed),
             ]
+            if args.train_all:
+                cli += ["--train-all"]
             if load:
                 cli += ["--load-from", load]
             run_cli(cli)
@@ -157,6 +166,7 @@ def main():
             "batch_size": args.batch_size,
             "backbone": args.backbone,
             "run_seed": args.run_seed,
+            "train_all": args.train_all,
             "canvas": "608x800 (standard bucket; full anchor pyramid, "
                       "12000->2000 train caps, bf16)",
             "train_wall_seconds": round(train_seconds, 1),

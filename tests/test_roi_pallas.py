@@ -250,3 +250,65 @@ def test_taps_kernel_out_of_range_rois_are_zero():
         )
     )
     np.testing.assert_allclose(out, 0.0)
+
+def test_taps_bwd_channel_tiling_matches_untiled():
+    """C > 512 backward runs as <=512-channel tiles (Mosaic scoped-vmem
+    headroom at ResNet width, see roi_pool_taps_pallas_bwd). The tiled
+    auto path (chunk=0) must equal both a forced untiled call and the jnp
+    mirror's jax.grad."""
+    import jax
+
+    from fasterrcnn_tpu.ops.pallas.roi_pallas import (
+        roi_pool_taps_pallas,
+        roi_pool_taps_pallas_bwd,
+    )
+
+    rng = np.random.default_rng(5)
+    img_h, img_w = 250.0, 300.0
+    real_fh, real_fw = 15, 18
+    b, h, w, c, p = 1, 16, 20, 640, 2  # c=640 -> five 128-channel tiles
+    fm = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    rois = np.stack([random_rois(rng, p, img_h, img_w)])
+    norm = np.tile(
+        [[(real_fh - 1) / img_h, (real_fw - 1) / img_w]], (b, 1)
+    ).astype(np.float32)
+    cot = rng.normal(size=(b, p, 7, 7, c)).astype(np.float32)
+
+    tiled = np.asarray(
+        roi_pool_taps_pallas_bwd(
+            jnp.asarray(fm), jnp.asarray(rois), jnp.asarray(norm),
+            jnp.asarray(cot), interpret=True,
+        )
+    )
+    untiled = np.asarray(
+        roi_pool_taps_pallas_bwd(
+            jnp.asarray(fm), jnp.asarray(rois), jnp.asarray(norm),
+            jnp.asarray(cot), interpret=True, chunk=1,
+        )
+    )
+    np.testing.assert_array_equal(tiled, untiled)
+
+    # The custom VJP routes through the tiled path at this width; it must
+    # still match the mirror's jax.grad exactly (same tolerance as the
+    # untiled vjp tests above).
+    scale = norm[:, (0, 1, 0, 1)]
+    rois_fg = (rois * scale[:, None, :]).astype(np.float32)
+    g_kernel = np.asarray(
+        jax.grad(
+            lambda f: jnp.sum(
+                roi_pool_taps_pallas(
+                    f, jnp.asarray(rois), jnp.asarray(norm), interpret=True,
+                    chunk=1,
+                )
+                * cot
+            )
+        )(jnp.asarray(fm))
+    )
+    g_mirror = np.asarray(
+        jax.grad(
+            lambda f: jnp.sum(
+                jnp.stack([taps_mirror(f[0], jnp.asarray(rois_fg[0]))]) * cot
+            )
+        )(jnp.asarray(fm))
+    )
+    np.testing.assert_allclose(g_kernel, g_mirror, rtol=1e-4, atol=1e-4)
