@@ -73,6 +73,13 @@ def main():
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--backbone", default="vgg16")
     p.add_argument("--learning-rate", type=float, default=1e-3)
+    p.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"],
+                   help="Optimizer for the train phases (CLI --optimizer, "
+                        "tf2 parity). From-scratch ResNet proxies use adam: "
+                        "a fresh 50/101-layer affine-normalized stack barely "
+                        "moves under the reference's SGD schedule at proxy "
+                        "step counts (r4: ~15%% after 448 SGD steps for both "
+                        "resnet50 and resnet101)")
     p.add_argument("--threshold", type=float, default=80.0,
                    help="Required held-out mAP (%%)")
     p.add_argument("--run-seed", type=int, default=0,
@@ -119,6 +126,7 @@ def main():
                 "--periodic-eval-samples", str(args.eval_images),
                 "--save-to", save,
                 "--seed", str(seed),
+                "--optimizer", args.optimizer,
             ]
             if args.train_all:
                 cli += ["--train-all"]
@@ -163,6 +171,8 @@ def main():
             "epochs": args.epochs,
             "epochs_phase2": args.epochs2,
             "schedule": "two-phase (lr, lr/10), fresh optimizer at reload",
+            "optimizer": args.optimizer,
+            "learning_rate": args.learning_rate,
             "batch_size": args.batch_size,
             "backbone": args.backbone,
             "run_seed": args.run_seed,
