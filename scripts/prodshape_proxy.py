@@ -112,7 +112,7 @@ def main():
         )
         weights = os.path.join(root, "proxy_weights.msgpack")
 
-        def train_phase(epochs, lr, load, save, seed):
+        def train_phase(epochs, lr, load, save, seed, best=None):
             cli = [
                 "--train",
                 "--dataset-dir", voc,
@@ -128,6 +128,11 @@ def main():
                 "--seed", str(seed),
                 "--optimizer", args.optimizer,
             ]
+            if best:
+                # Reference semantics: the shipped weights are the best-mAP
+                # epoch's, not the last epoch's (BestWeightsTracker,
+                # reference state.py:274-288, __main__.py:195-198).
+                cli += ["--save-best-to", best]
             if args.train_all:
                 cli += ["--train-all"]
             if load:
@@ -137,22 +142,34 @@ def main():
         # The reference's two-phase schedule (train_pytorch_vgg16.sh:2-3):
         # long phase at lr, short phase at lr/10 with weights reloaded (and
         # therefore a fresh optimizer — the README.md:231-256 resume rule).
+        best1 = os.path.join(root, "proxy_best_p1.msgpack")
+        best2 = os.path.join(root, "proxy_best_p2.msgpack")
         t0 = time.time()
         train_phase(
             args.epochs, args.learning_rate, None, weights,
-            seed=args.run_seed * 2,
+            seed=args.run_seed * 2, best=best1,
         )
+        p1 = best1 if os.path.exists(best1) else weights
         if args.epochs2:
+            # Phase 2 resumes from phase-1 BEST weights. The reference's
+            # scripts reload the last checkpoint, but that assumes its
+            # pretrained-SGD regime where last ~= best; from-scratch adam
+            # oscillates several mAP points at lr, so resuming the trough
+            # (r4: phase-1 final 66% vs peak 76%) wastes phase 2. Each
+            # phase keeps its own BestWeightsTracker file; the evaluated
+            # artifact is phase-2's best (the best post-fine-tune epoch),
+            # falling back to phase-1's.
             train_phase(
-                args.epochs2, args.learning_rate / 10, weights, weights,
-                seed=args.run_seed * 2 + 1,
+                args.epochs2, args.learning_rate / 10, p1, weights,
+                seed=args.run_seed * 2 + 1, best=best2,
             )
+        final = best2 if os.path.exists(best2) else p1
         train_seconds = time.time() - t0
 
         out = run_cli([
             "--eval",
             "--dataset-dir", voc,
-            "--load-from", weights,
+            "--load-from", final,
             "--eval-batch-size", str(args.batch_size),
             "--compute-dtype", "bfloat16",
             "--backbone", args.backbone,
@@ -173,6 +190,7 @@ def main():
             "schedule": "two-phase (lr, lr/10), fresh optimizer at reload",
             "optimizer": args.optimizer,
             "learning_rate": args.learning_rate,
+            "weights": "best-mAP epoch (BestWeightsTracker parity)",
             "batch_size": args.batch_size,
             "backbone": args.backbone,
             "run_seed": args.run_seed,
