@@ -549,6 +549,32 @@ def roi_pool_taps_pallas(
     p = rois.shape[1]
     assert crop_size == 2 * out_size, (crop_size, out_size)
     assert c % 128 == 0, f"channels {c} must be a multiple of 128"
+    if chunk <= 0 and c * feature_map.dtype.itemsize > 2048:
+        # Channel-tile wide-and-deep feature maps (f32 at C=1024 OOMs the
+        # Mosaic 16 MB scoped-vmem stack at 18.75M even at chunk 1 —
+        # hardware-measured via scripts/gradcheck_roi_vjp.py). 2048 bytes
+        # per channel-row is the proven envelope: bf16/1024 (ResNet train
+        # path) and f32/512 (VGG f32) both compile and run untiled on
+        # hardware and stay that way. Exact: the kernel is per-channel
+        # independent.
+        ct = max(
+            t
+            for t in range(128, c, 128)
+            if c % t == 0 and t * feature_map.dtype.itemsize <= 2048
+        )
+        outs = [
+            roi_pool_taps_pallas(
+                feature_map[..., i : i + ct],
+                rois,
+                norm,
+                crop_size,
+                out_size,
+                interpret,
+                chunk,
+            )
+            for i in range(0, c, ct)
+        ]
+        return jnp.concatenate(outs, axis=-1)
     if chunk <= 0:
         # Budget: fm block + rows scratch + the f32 matmul transient + the
         # output block this grid step writes. Hardware-calibrated, not

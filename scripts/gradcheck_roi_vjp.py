@@ -38,7 +38,10 @@ from fasterrcnn_tpu.ops.pallas.roi_pallas import roi_pool_taps_pallas
 
 IMG_H, IMG_W = 600.0, 800.0
 REAL_FH, REAL_FW = 37, 50
-B, H, W, C, P = 4, 38, 50, 512, 128
+# C defaults to the VGG width; FRCNN_GRADCHECK_C=1024 covers the ResNet
+# width (exercises the C>512 channel-tiled backward and the C=1024 forward
+# chunk budget on real Mosaic — interpret-mode CI twins only go to 640).
+B, H, W, C, P = 4, 38, 50, int(os.environ.get("FRCNN_GRADCHECK_C", "512")), 128
 CROP, OUT = 14, 7
 
 
