@@ -71,6 +71,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Gradient norm clipping (tf2 parity)")
     parser.add_argument("--beta1", metavar="value", type=float, default=0.9)
     parser.add_argument("--beta2", metavar="value", type=float, default=0.999)
+    parser.add_argument("--lr-schedule", metavar="name", default="constant",
+                        choices=["constant", "cosine"],
+                        help="Learning-rate schedule: constant (reference "
+                             "behavior) or cosine (linear warmup over "
+                             "--warmup-steps, cosine decay to 0 over the "
+                             "whole run; the from-scratch recipe)")
+    parser.add_argument("--warmup-steps", metavar="n", type=int, default=0,
+                        help="Linear LR warmup steps (cosine schedule only)")
     parser.add_argument("--train-all", action="store_true",
                         help="Train every parameter (from-scratch mode): "
                              "disable the backbone freeze patterns, which "
@@ -205,7 +213,17 @@ def main(argv=None):
         optimizer=options.optimizer,
         beta1=options.beta1,
         beta2=options.beta2,
+        lr_schedule=options.lr_schedule,
+        warmup_steps=options.warmup_steps,
     )
+    if options.lr_schedule == "cosine" and options.train:
+        import dataclasses as _dc
+
+        n = make_datasets(options)[0].num_samples
+        steps_per_epoch = -(-n // options.batch_size)
+        train_cfg = _dc.replace(
+            train_cfg, total_steps=options.epochs * steps_per_epoch
+        )
     mesh = None
     if options.num_devices or options.tp > 1:
         from fasterrcnn_tpu.parallel import mesh as mesh_lib

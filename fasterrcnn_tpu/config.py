@@ -121,6 +121,15 @@ class TrainConfig:
     optimizer: str = "sgd"  # "sgd" or "adam" (tf2 __main__.py:337)
     beta1: float = 0.9
     beta2: float = 0.999
+    # Learning-rate schedule. "constant" is the reference's behavior (its
+    # two-phase recipe restarts the run at lr/10 instead); "cosine" adds
+    # linear warmup over warmup_steps then cosine decay to 0 at total_steps
+    # — the standard from-scratch schedule (no reference counterpart).
+    # total_steps must be > 0 for cosine; the CLI derives it from
+    # epochs x ceil(num_samples / batch_size).
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    total_steps: int = 0
 
 
 # Canvas buckets: every preprocessed image (shorter side scaled to 600) is

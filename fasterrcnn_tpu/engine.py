@@ -69,6 +69,21 @@ def make_optimizer(model_cfg: ModelConfig, train_cfg: TrainConfig, params):
     patterns = () if model_cfg.train_all else spec.frozen_param_patterns
     labels = _param_labels(params, patterns)
 
+    if train_cfg.lr_schedule == "cosine":
+        if train_cfg.total_steps <= 0:
+            raise ValueError(
+                "lr_schedule='cosine' needs total_steps > 0 (the CLI derives "
+                "it from epochs x steps-per-epoch)"
+            )
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=train_cfg.learning_rate,
+            warmup_steps=max(train_cfg.warmup_steps, 1),
+            decay_steps=train_cfg.total_steps,
+        )
+    else:
+        lr = train_cfg.learning_rate
+
     def base_opt(weight_decay: float):
         steps = []
         if train_cfg.clipnorm > 0:
@@ -76,15 +91,9 @@ def make_optimizer(model_cfg: ModelConfig, train_cfg: TrainConfig, params):
         if weight_decay > 0:
             steps.append(optax.add_decayed_weights(weight_decay))
         if train_cfg.optimizer == "adam":
-            steps.append(
-                optax.adam(
-                    train_cfg.learning_rate, b1=train_cfg.beta1, b2=train_cfg.beta2
-                )
-            )
+            steps.append(optax.adam(lr, b1=train_cfg.beta1, b2=train_cfg.beta2))
         else:
-            steps.append(
-                optax.sgd(train_cfg.learning_rate, momentum=train_cfg.momentum)
-            )
+            steps.append(optax.sgd(lr, momentum=train_cfg.momentum))
         return optax.chain(*steps)
 
     tx = optax.multi_transform(

@@ -88,6 +88,13 @@ def main():
                         "sample independent minibatches/dropout (a second "
                         "seed strengthens the single-seed margin, VERDICT "
                         "r3 Weak #2)")
+    p.add_argument("--lr-schedule", default="constant",
+                   choices=["constant", "cosine"],
+                   help="CLI --lr-schedule for the train phases; cosine "
+                        "(warmup + decay to 0) is the from-scratch recipe "
+                        "and makes the two-phase lr/10 reload redundant — "
+                        "pair with --epochs2 0")
+    p.add_argument("--warmup-steps", type=int, default=0)
     p.add_argument("--train-all", action="store_true",
                    help="Pass --train-all (from-scratch mode) to the train "
                         "phases. Required for ResNet proxies: the production "
@@ -127,6 +134,8 @@ def main():
                 "--save-to", save,
                 "--seed", str(seed),
                 "--optimizer", args.optimizer,
+                "--lr-schedule", args.lr_schedule,
+                "--warmup-steps", str(args.warmup_steps),
             ]
             if best:
                 # Reference semantics: the shipped weights are the best-mAP
@@ -190,6 +199,7 @@ def main():
             "schedule": "two-phase (lr, lr/10), fresh optimizer at reload",
             "optimizer": args.optimizer,
             "learning_rate": args.learning_rate,
+            "lr_schedule": args.lr_schedule,
             "weights": "best-mAP epoch (BestWeightsTracker parity)",
             "batch_size": args.batch_size,
             "backbone": args.backbone,
