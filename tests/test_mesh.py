@@ -26,6 +26,42 @@ def test_param_spec_rules():
         mesh_lib.param_spec("inner_states/decayed/inner_state/0/0/trace/roi_head/fc1/kernel")
         == P(None, "tp")
     )
+    # ResNet layer4 megatron split: conv1 column (output channels), conv2
+    # row (input channels), bn1 affine sharded to match; conv3/bn2/bn3/
+    # downsample replicated.
+    assert mesh_lib.param_spec("roi_head/layer4/block0/conv1/kernel") == P(
+        None, None, None, "tp"
+    )
+    assert mesh_lib.param_spec("roi_head/layer4/block2/conv2/kernel") == P(
+        None, None, "tp", None
+    )
+    assert mesh_lib.param_spec("roi_head/layer4/block1/bn1/scale") == P("tp")
+    assert mesh_lib.param_spec("roi_head/layer4/block1/bn1/bias") == P("tp")
+    assert mesh_lib.param_spec("roi_head/layer4/block0/conv3/kernel") == P()
+    assert mesh_lib.param_spec("roi_head/layer4/block0/bn3/scale") == P()
+    assert (
+        mesh_lib.param_spec("roi_head/layer4/block0/downsample_conv/kernel")
+        == P()
+    )
+
+
+def test_warn_if_tp_unused():
+    """tp>1 with a model no rule matches must warn (silent-no-op guard);
+    tp-sharded models and tp=1 meshes must not."""
+    mesh2 = mesh_lib.make_mesh(8, tp=2)
+    vgg_like = {"roi_head": {"fc1": {"kernel": np.zeros((4, 4))}}}
+    resnet_like = {
+        "roi_head": {
+            "layer4": {"block0": {"conv1": {"kernel": np.zeros((1, 1, 4, 4))}}}
+        }
+    }
+    unmatched = {"feature_extractor": {"conv": {"kernel": np.zeros((3, 3))}}}
+    assert mesh_lib.warn_if_tp_unused(mesh2, vgg_like)
+    assert mesh_lib.warn_if_tp_unused(mesh2, resnet_like)
+    with pytest.warns(UserWarning, match="tensor-parallel"):
+        assert not mesh_lib.warn_if_tp_unused(mesh2, unmatched)
+    # tp=1: nothing to warn about regardless of the model.
+    assert mesh_lib.warn_if_tp_unused(mesh_lib.make_mesh(8, tp=1), unmatched)
 
 
 def test_engine_trains_on_mesh():
@@ -108,6 +144,51 @@ def test_dp_step_matches_single_device(tp):
             np.asarray(leaf), np.asarray(flat_dp[key]),
             rtol=1e-4, atol=1e-6, err_msg=key,
         )
+
+
+def test_resnet_tp_step_matches_single_device():
+    """ResNet tensor parallelism (layer4 conv megatron split) must be a
+    numerical no-op: a dp=4 x tp=2 step computes the same losses and updated
+    params as the single-device step — the conv analog of the vgg fc-pair
+    oracle above. Tolerances cover the tp all-reduce's changed reduction
+    order (conv2 contracts its input channels across the tp axis)."""
+    from fasterrcnn_tpu.config import TrainConfig
+    from fasterrcnn_tpu.data.synthetic import SyntheticDataset
+    from fasterrcnn_tpu.engine import Engine
+    from tests.test_model import tiny_config, CANVAS_H, CANVAS_W
+
+    def run(mesh):
+        engine = Engine(
+            tiny_config(backbone="resnet50"),
+            TrainConfig(batch_size=8),
+            seed=0,
+            init_canvas=(CANVAS_H, CANVAS_W),
+            mesh=mesh,
+        )
+        data = SyntheticDataset(num_samples=8, height=120, width=150, seed=3)
+        stats = engine.train_epoch(data, batch_size=8, progress=False)
+        return engine.params, stats.means()
+
+    params_one, losses_one = run(None)
+    params_tp, losses_tp = run(mesh_lib.make_mesh(8, tp=2))
+
+    for k in losses_one:
+        assert abs(losses_one[k] - losses_tp[k]) < 1e-4, (
+            k, losses_one[k], losses_tp[k])
+
+    flat_tp = {jax.tree_util.keystr(p): x for p, x in
+               jax.tree_util.tree_leaves_with_path(params_tp)}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params_one):
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_tp[key]),
+            rtol=1e-4, atol=1e-5, err_msg=key,
+        )
+    # The layer4 conv pair is actually sharded on the mesh run.
+    conv1 = flat_tp["['roi_head']['layer4']['block0']['conv1']['kernel']"]
+    assert conv1.sharding.spec == jax.sharding.PartitionSpec(
+        None, None, None, "tp"
+    )
 
 
 def test_scan_epoch_on_mesh_matches_single_device(monkeypatch):
