@@ -481,14 +481,17 @@ def dump_anchors(engine, options):
             options.dump_anchors,
             "anchors_" + os.path.basename(sample.filepath).replace("/", "_") + ".png",
         )
-        if sample.image is not None:
-            visualize.show_anchors(
-                image=sample.image,
-                anchor_centers=grid.centers,
-                positive_mask=positive,
-                gt_boxes=sample.gt_boxes,
-                output_path=out,
-            )
+        # Deferred-decode samples (native loader, no --cache-images) carry no
+        # pixels until batch time; materialize them here so rendering always
+        # happens, matching the reference (__main__.py:38-60 always renders).
+        sample.materialize()
+        visualize.show_anchors(
+            image=sample.image,
+            anchor_centers=grid.centers,
+            positive_mask=positive,
+            gt_boxes=sample.gt_boxes,
+            output_path=out,
+        )
 
 
 if __name__ == "__main__":

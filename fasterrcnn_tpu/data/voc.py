@@ -108,6 +108,29 @@ class Sample:
 
         return Image.fromarray(np.ascontiguousarray(self.image_u8))
 
+    def materialize(self) -> "Sample":
+        """Decode a deferred sample's pixels in place.
+
+        The deferred-decode path only produces pixels at *batch* assembly
+        (pipeline.make_host_batch); consumers that need per-sample pixels
+        outside the batched pipeline — --dump-anchors rendering, notably
+        (reference __main__.py:38-60 always renders) — call this to run the
+        eager decode+resize on demand. No-op when pixels already exist.
+        """
+        if self.image_u8 is not None or self.deferred is None:
+            return self
+        from fasterrcnn_tpu.data import image as image_lib
+
+        arr, _, _, _ = image_lib.load_image(
+            self.filepath,
+            min_dimension_pixels=self.deferred.min_side,
+            max_dimension_pixels=self.deferred.max_side,
+        )
+        if self.deferred.cache_sink is not None:
+            self.deferred.cache_sink(arr)
+        self.image_u8 = arr[:, ::-1] if self.flip else arr
+        return self
+
 
 class Dataset:
     """A VOC split iterator (reference voc.py:35-141 interface)."""

@@ -73,6 +73,33 @@ def test_deferred_batch_decode_matches_eager(voc_dir):
         np.testing.assert_array_equal(lb.gt_mask, eb.gt_mask)
 
 
+def test_materialize_deferred_sample_matches_eager(voc_dir):
+    """Sample.materialize() on a deferred sample must reproduce the eager
+    decode exactly (incl. the flip view) and feed the dataset cache."""
+    kw = dict(split="trainval", dir=voc_dir, augment=True, shuffle=False,
+              seed=3)
+    lazy = Dataset(batch_decode=True, cache=True, **kw)
+    eager = Dataset(batch_decode=False, cache=False, **kw)
+    n = 0
+    for s_lazy, s_eager in zip(lazy, eager):
+        assert s_lazy.image_u8 is None and s_lazy.deferred is not None
+        s_lazy.materialize()
+        assert s_lazy.image_u8 is not None
+        np.testing.assert_array_equal(
+            np.asarray(s_lazy.image_u8), np.asarray(s_eager.image_u8)
+        )
+        # cache_sink stored the UNFLIPPED variant
+        cached = lazy._cache[s_lazy.filepath]
+        expected = s_eager.image_u8[:, ::-1] if s_eager.flip else s_eager.image_u8
+        np.testing.assert_array_equal(cached, np.asarray(expected))
+        n += 1
+    assert n == lazy.num_samples
+    # No-op on already-materialized samples.
+    s = next(iter(eager))
+    before = s.image_u8
+    assert s.materialize() is s and s.image_u8 is before
+
+
 def test_cache_is_single_variant_and_flip_is_view(voc_dir):
     ds = Dataset(split="trainval", dir=voc_dir, augment=True, shuffle=False,
                  cache=True, seed=11)
