@@ -145,6 +145,44 @@ def wire_probe(n: int = 7) -> dict:
     }
 
 
+def upload_probe(shape=(8, 8, 608, 800, 3), reps: int = 3) -> dict:
+    """Host->device bandwidth on a production scan block: one (K=8, B=8)
+    uint8 image stack = 93.4 MB, exactly what the epoch loop uploads per
+    dispatch. jnp.asarray only *schedules* the transfer on this backend, so
+    each rep is terminated by fetching one device-side element (which blocks
+    until the upload has landed); the slope between 1 and `reps` uploads
+    cancels the fixed round-trip cost. This is the number that decides
+    whether the epoch-vs-step gap is wire bandwidth or staging CPU
+    (VERDICT r4 Next #3)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    block = np.random.default_rng(0).integers(
+        0, 255, shape, dtype=np.uint8
+    )
+    mb = block.nbytes / 1e6
+
+    def timed():
+        t0 = time.perf_counter()
+        x = jnp.asarray(block)
+        float(x[tuple(0 for _ in shape)])  # blocks until upload lands
+        del x
+        return time.perf_counter() - t0
+
+    timed()  # warm (allocator, any first-touch costs)
+    # Median of INDIVIDUAL reps: this backend intermittently stalls for
+    # tens of seconds (observed rpc_ms_max 36 s), and one stall inside a
+    # summed loop would halve the reported bandwidth.
+    samples = sorted(timed() for _ in range(max(reps, 3)))
+    per_block = samples[len(samples) // 2]
+    return {
+        "upload_block_mb": round(mb, 1),
+        "upload_block_s": round(per_block, 3),
+        "upload_block_s_spread": round(samples[-1] - samples[0], 3),
+        "upload_mbps": round(mb / per_block, 1),
+    }
+
+
 def median_slope_ms(dispatch, fetch, lo, hi, trials: int) -> tuple:
     from fasterrcnn_tpu.utils.timing import slope_ms
 
@@ -194,10 +232,16 @@ def bench_epoch(engine, train_batch: int, trials: int) -> dict:
         engine.train_epoch(ds, train_batch, progress=False)
         t_cold = time.perf_counter() - t0  # every JPEG decoded this epoch
         warm = []
+        traces = []
         for _ in range(trials):
             t1 = time.perf_counter()
             engine.train_epoch(ds, train_batch, progress=False)
             warm.append(time.perf_counter() - t1)
+            traces.append(dict(engine.last_epoch_trace))
+        # Publish the phase split of the MEDIAN warm epoch (the one the
+        # headline rate reports), so the epoch_vs_step gap is diagnosable
+        # from the artifact alone (VERDICT r4 Weak #5).
+        med = traces[warm.index(sorted(warm)[len(warm) // 2])]
         return {
             "epoch_images_per_sec": round(n / statistics.median(warm), 2),
             "epoch_images_per_sec_cold": round(n / t_cold, 2),
@@ -205,6 +249,10 @@ def bench_epoch(engine, train_batch: int, trials: int) -> dict:
             "epoch_trials": trials,
             "epoch_spread_sec": round(max(warm) - min(warm), 2),
             "scan_steps": int(os.environ.get("FRCNN_SCAN_STEPS", "8")),
+            "epoch_wait_s": med.get("wait_s"),
+            "epoch_dispatch_s": med.get("dispatch_s"),
+            "epoch_drain_s": med.get("drain_s"),
+            "epoch_other_s": med.get("other_s"),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -358,6 +406,7 @@ def main():
     run_resnet = os.environ.get("BENCH_RESNET101", "1") != "0"
 
     probe_start = wire_probe()
+    upload = upload_probe() if run_epoch else {}
     flagship = bench_model(
         backbone, batch_size, train_batch, lo, hi, trials, run_epoch,
         epoch_trials,
@@ -371,6 +420,7 @@ def main():
     record["vs_baseline"] = round(record["value"] / BASELINE_IMAGES_PER_SEC, 3)
     record.update(flagship)
     record.update(probe_start)
+    record.update(upload)
 
     # ResNet-101 row (the accuracy flagship, 76.2% mAP reference bar):
     # inference + isolated train step, no epoch (VERDICT r3 Next #2).

@@ -138,6 +138,8 @@ class Engine:
         self._global_step = 0
         self._predict_fns: Dict[Tuple[int, int], callable] = {}
         self._rng = jax.random.key(seed)
+        # Phase breakdown of the most recent train_epoch (see train_epoch).
+        self.last_epoch_trace: Dict[str, float] = {}
 
     def set_params(self, params) -> None:
         """Install new parameters: (re-)apply mesh placement, fresh optimizer.
@@ -153,6 +155,7 @@ class Engine:
         if self.mesh is not None:
             from fasterrcnn_tpu.parallel import mesh as mesh_lib
 
+            mesh_lib.warn_if_tp_unused(self.mesh, params)
             params = jax.device_put(
                 params, mesh_lib.param_shardings(self.mesh, params)
             )
@@ -385,13 +388,15 @@ class Engine:
                 consume(pending_block)
             pending_block = block
 
-        # FRCNN_EPOCH_TRACE=1 prints a phase breakdown to stderr: time the
-        # main thread spends WAITING for staged batches (prefetch-thread
-        # bound: host assembly + upload), time inside dispatch calls (one
-        # execute RPC each), and the final drain (blocks until the chip
-        # finishes the tail). This is the tool that separates "epoch is
-        # slow because the loop stalls on the wire" from "epoch is slow
-        # because staging can't keep up with the chip".
+        # Phase breakdown: time the main thread spends WAITING for staged
+        # batches (prefetch-thread bound: host assembly + upload), time
+        # inside dispatch calls (one execute RPC each), and the final drain
+        # (blocks until the chip finishes the tail). This is the tool that
+        # separates "epoch is slow because the loop stalls on the wire" from
+        # "epoch is slow because staging can't keep up with the chip". It is
+        # always recorded into self.last_epoch_trace (bench.py publishes it,
+        # VERDICT r4 Next #3 — two perf_counter calls per block, free);
+        # FRCNN_EPOCH_TRACE=1 additionally prints it to stderr.
         trace = os.environ.get("FRCNN_EPOCH_TRACE") == "1"
         t_wait = t_dispatch = 0.0
         t_begin = time.perf_counter()
@@ -432,9 +437,17 @@ class Engine:
             flush()
             if pending_block is not None:
                 consume(pending_block)
+            t_drain = time.perf_counter() - t0
+            total = time.perf_counter() - t_begin
+            self.last_epoch_trace = {
+                "steps": steps_done,
+                "total_s": round(total, 3),
+                "wait_s": round(t_wait, 3),
+                "dispatch_s": round(t_dispatch, 3),
+                "drain_s": round(t_drain, 3),
+                "other_s": round(total - t_wait - t_dispatch - t_drain, 3),
+            }
             if trace:
-                t_drain = time.perf_counter() - t0
-                total = time.perf_counter() - t_begin
                 print(
                     f"[epoch-trace] steps={steps_done} total={total:.3f}s "
                     f"wait-for-staging={t_wait:.3f}s "

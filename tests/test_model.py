@@ -182,6 +182,11 @@ def test_one_trace_per_bucket_with_residues():
     assert len(engine._packed_steps) == 1  # one bucket touched
     (step,) = engine._packed_steps.values()
     assert step._cache_size() == 1  # residue reused the full-size program
+    # The phase trace is recorded unconditionally (bench.py publishes it).
+    trace = engine.last_epoch_trace
+    assert trace["steps"] == 3
+    assert trace["total_s"] > 0
+    assert {"wait_s", "dispatch_s", "drain_s", "other_s"} <= trace.keys()
 
 
 def test_scan_epoch_matches_per_step_epoch(monkeypatch):
