@@ -196,10 +196,22 @@ def main():
             "eval_images": args.eval_images,
             "epochs": args.epochs,
             "epochs_phase2": args.epochs2,
-            "schedule": "two-phase (lr, lr/10), fresh optimizer at reload",
+            # Derived from the actual config (ADVICE r4: a hardcoded string
+            # misdescribed single-phase cosine runs).
+            "schedule": (
+                "two-phase (lr, lr/10), fresh optimizer at reload"
+                if args.epochs2
+                else f"single-phase {args.lr_schedule}"
+                + (
+                    " (warmup + decay to 0)"
+                    if args.lr_schedule == "cosine"
+                    else ""
+                )
+            ),
             "optimizer": args.optimizer,
             "learning_rate": args.learning_rate,
             "lr_schedule": args.lr_schedule,
+            "warmup_steps": args.warmup_steps,
             "weights": "best-mAP epoch (BestWeightsTracker parity)",
             "batch_size": args.batch_size,
             "backbone": args.backbone,
