@@ -150,10 +150,12 @@ def upload_probe(shape=(8, 8, 608, 800, 3), reps: int = 3) -> dict:
     uint8 image stack = 93.4 MB, exactly what the epoch loop uploads per
     dispatch. jnp.asarray only *schedules* the transfer on this backend, so
     each rep is terminated by fetching one device-side element (which blocks
-    until the upload has landed); the slope between 1 and `reps` uploads
-    cancels the fixed round-trip cost. This is the number that decides
-    whether the epoch-vs-step gap is wire bandwidth or staging CPU
-    (VERDICT r4 Next #3)."""
+    until the upload has landed). Reported bandwidth is mb / median(per-rep
+    wall), so each rep carries one fixed round trip + the scalar-fetch
+    program — a downward bias of rpc_ms/upload_time, negligible at median
+    weather (12 ms vs ~2 s uploads) but not during the multi-second stall
+    windows rpc_ms_max records. This is the number that decides whether the
+    epoch-vs-step gap is wire bandwidth or staging CPU (VERDICT r4 Next #3)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -238,10 +240,13 @@ def bench_epoch(engine, train_batch: int, trials: int) -> dict:
             engine.train_epoch(ds, train_batch, progress=False)
             warm.append(time.perf_counter() - t1)
             traces.append(dict(engine.last_epoch_trace))
-        # Publish the phase split of the MEDIAN warm epoch (the one the
-        # headline rate reports), so the epoch_vs_step gap is diagnosable
-        # from the artifact alone (VERDICT r4 Weak #5).
-        med = traces[warm.index(sorted(warm)[len(warm) // 2])]
+        # Publish the phase split of the warm epoch closest to the headline
+        # median (identical for odd trials; for even trials the median is a
+        # midpoint of two epochs, so pick the nearer one), so the
+        # epoch_vs_step gap is diagnosable from the artifact alone
+        # (VERDICT r4 Weak #5).
+        med_wall = statistics.median(warm)
+        med = traces[min(range(len(warm)), key=lambda i: abs(warm[i] - med_wall))]
         return {
             "epoch_images_per_sec": round(n / statistics.median(warm), 2),
             "epoch_images_per_sec_cold": round(n / t_cold, 2),

@@ -119,16 +119,24 @@ class Sample:
         """
         if self.image_u8 is not None or self.deferred is None:
             return self
-        from fasterrcnn_tpu.data import image as image_lib
-
         arr, _, _, _ = image_lib.load_image(
             self.filepath,
             min_dimension_pixels=self.deferred.min_side,
             max_dimension_pixels=self.deferred.max_side,
         )
+        # Same decoded-size check the batch path enforces
+        # (pipeline._decode_deferred_into): gt boxes and the anchor grid were
+        # scaled from the annotation's <size>, so a mismatched JPEG must fail
+        # loudly here too, not render mis-scaled overlays.
+        if arr.shape[:2] != tuple(self.image_hw):
+            raise ValueError(
+                f"{self.filepath}: decoded to {arr.shape[:2]} but the "
+                f"annotation's <size> element predicted {tuple(self.image_hw)}"
+            )
         if self.deferred.cache_sink is not None:
             self.deferred.cache_sink(arr)
         self.image_u8 = arr[:, ::-1] if self.flip else arr
+        self.deferred = None  # invariant: deferred is set iff image_u8 is None
         return self
 
 

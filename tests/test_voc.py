@@ -85,6 +85,7 @@ def test_materialize_deferred_sample_matches_eager(voc_dir):
         assert s_lazy.image_u8 is None and s_lazy.deferred is not None
         s_lazy.materialize()
         assert s_lazy.image_u8 is not None
+        assert s_lazy.deferred is None  # invariant: deferred iff not decoded
         np.testing.assert_array_equal(
             np.asarray(s_lazy.image_u8), np.asarray(s_eager.image_u8)
         )
@@ -98,6 +99,20 @@ def test_materialize_deferred_sample_matches_eager(voc_dir):
     s = next(iter(eager))
     before = s.image_u8
     assert s.materialize() is s and s.image_u8 is before
+
+
+def test_materialize_rejects_size_mismatch(voc_dir):
+    """materialize() must fail loudly when the decoded JPEG disagrees with
+    the annotation's <size> (the gt boxes were scaled from <size>, so a
+    mismatch would render mis-scaled overlays) — same contract the batch
+    decode path enforces in pipeline._decode_deferred_into."""
+    s = next(iter(Dataset(batch_decode=True, split="trainval", dir=voc_dir,
+                          augment=False, shuffle=False, cache=False, seed=0)))
+    if s.deferred is None:
+        pytest.skip("native loader unavailable; no deferred samples")
+    s.image_hw = (s.image_hw[0] + 1, s.image_hw[1])  # corrupt the prediction
+    with pytest.raises(ValueError, match="annotation's <size>"):
+        s.materialize()
 
 
 def test_cache_is_single_variant_and_flip_is_view(voc_dir):
